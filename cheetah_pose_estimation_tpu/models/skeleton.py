@@ -1,0 +1,240 @@
+"""17-link cheetah skeleton: batched forward kinematics in closed form.
+
+Replaces the reference's SymPy symbolic FK + lambdify pipeline
+(``shared.physical_education.links.Link3D`` / ``acinoset_misc.py:1581-1659``)
+with direct jitted JAX functions of ``(q, params)``. No codegen, no caching.
+
+Geometry (verified to machine precision against shipped ``fte.pickle``
+q -> positions pairs of the reference test set):
+
+* every link is a cylinder aligned along a body-frame axis; orientation is the
+  absolute z-y-x Euler rotation ``R = Rz(psi) Ry(theta) Rx(phi)``;
+* ``top`` is the attachment end, ``bottom = top + R @ (axis * length)``;
+* the base link's centre is ``q[0:3]``; chains:
+  bodyF.top = base.bottom, neck.top = bodyF.bottom (all aligned "-x"),
+  tail0.top = base.top, tail1.top = tail0.bottom (aligned "+x"),
+  legs hang from body side points and are aligned "-z"
+  (topology: reference ``cheetah.py:19-200``);
+* 24 DLC markers are link end points plus fixed body-frame offsets
+  (eye/nose/shoulder/hip offsets: reference ``acinoset_misc.py:1586-1592``).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.rotations import euler_zyx
+from .params import LINK_INDEX, LINK_NAMES, N_LINKS, NQ, SubjectParams
+
+MARKERS = (
+    "nose", "r_eye", "l_eye", "neck_base", "spine", "tail_base", "tail1",
+    "tail2", "r_shoulder", "r_front_knee", "r_front_ankle", "r_front_paw",
+    "l_shoulder", "l_front_knee", "l_front_ankle", "l_front_paw", "r_hip",
+    "r_back_knee", "r_back_ankle", "r_back_paw", "l_hip", "l_back_knee",
+    "l_back_ankle", "l_back_paw",
+)
+N_MARKERS = len(MARKERS)
+
+# Per-link alignment axis in the body frame (unit vector * sign).
+_AXIS = np.zeros((N_LINKS, 3))
+_AXIS[0:3, 0] = -1.0   # base, bodyF, neck aligned "-x"
+_AXIS[3:5, 0] = +1.0   # tail0, tail1 aligned "+x"
+_AXIS[5:, 2] = -1.0    # all leg segments aligned "-z"
+
+_L = LINK_INDEX
+
+
+class LinkFrames(NamedTuple):
+    """World-frame link data for one configuration (leading dims broadcast)."""
+
+    R: jnp.ndarray       # (..., 17, 3, 3) body-to-world rotations
+    top: jnp.ndarray     # (..., 17, 3) attachment-end positions
+    bottom: jnp.ndarray  # (..., 17, 3) far-end positions
+    com: jnp.ndarray     # (..., 17, 3) link centres (cylinder midpoints)
+
+
+def _angles_from_q(q: jnp.ndarray) -> jnp.ndarray:
+    """(..., 54) -> (..., 17, 3) per-link (phi, theta, psi)."""
+    base = q[..., 3:6]
+    rest = q[..., 6:].reshape(q.shape[:-1] + (N_LINKS - 1, 3))
+    return jnp.concatenate([base[..., None, :], rest], axis=-2)
+
+
+def link_frames(q: jnp.ndarray, params: SubjectParams) -> LinkFrames:
+    """Forward kinematics for all 17 links.
+
+    Args:
+      q: (..., 54) generalized coordinates.
+      params: subject morphology (lengths/radii used; static numpy).
+
+    Returns:
+      LinkFrames with world rotations and top/bottom/centre positions.
+    """
+    angles = _angles_from_q(q)
+    R = euler_zyx(angles)  # (..., 17, 3, 3)
+    length = jnp.asarray(params.length, dtype=q.dtype)
+    radius = jnp.asarray(params.radius, dtype=q.dtype)
+    axis = jnp.asarray(_AXIS, dtype=q.dtype)
+    # world-frame full-length axis vector per link: R_i @ (axis_i * L_i)
+    axis_w = jnp.einsum("...ijk,ik->...ij", R, axis * length[:, None])
+
+    tops = [None] * N_LINKS
+    i_base = _L["base"]
+    base_com = q[..., 0:3]
+    tops[i_base] = base_com - 0.5 * axis_w[..., i_base, :]
+    base_bottom = base_com + 0.5 * axis_w[..., i_base, :]
+    base_top = tops[i_base]
+
+    tops[_L["bodyF"]] = base_bottom
+    bodyF_bottom = base_bottom + axis_w[..., _L["bodyF"], :]
+    bodyF_com = base_bottom + 0.5 * axis_w[..., _L["bodyF"], :]
+    tops[_L["neck"]] = bodyF_bottom
+    tops[_L["tail0"]] = base_top
+    tail0_bottom = base_top + axis_w[..., _L["tail0"], :]
+    tops[_L["tail1"]] = tail0_bottom
+
+    # Legs: start point on the parent body segment
+    # front legs: bodyF.com + R_bodyF @ (-l_F/2, +-r_F, 0)   (cheetah.py:38)
+    # back legs:  base.com  + R_base  @ (+l_B/2, +-r_B, 0)
+    lF, rF = length[_L["bodyF"]], radius[_L["bodyF"]]
+    lB, rB = length[i_base], radius[i_base]
+    front_off = lambda sgn_y: jnp.stack(
+        [-lF / 2 * jnp.ones(q.shape[:-1], q.dtype),
+         sgn_y * rF * jnp.ones(q.shape[:-1], q.dtype),
+         jnp.zeros(q.shape[:-1], q.dtype)], axis=-1)
+    back_off = lambda sgn_y: jnp.stack(
+        [lB / 2 * jnp.ones(q.shape[:-1], q.dtype),
+         sgn_y * rB * jnp.ones(q.shape[:-1], q.dtype),
+         jnp.zeros(q.shape[:-1], q.dtype)], axis=-1)
+    RbF = R[..., _L["bodyF"], :, :]
+    Rb = R[..., i_base, :, :]
+    tops[_L["UFL"]] = bodyF_com + jnp.einsum("...jk,...k->...j", RbF, front_off(-1.0))
+    tops[_L["UFR"]] = bodyF_com + jnp.einsum("...jk,...k->...j", RbF, front_off(+1.0))
+    tops[_L["UBL"]] = base_com + jnp.einsum("...jk,...k->...j", Rb, back_off(-1.0))
+    tops[_L["UBR"]] = base_com + jnp.einsum("...jk,...k->...j", Rb, back_off(+1.0))
+    for thigh, calf, hock in (("UFL", "LFL", "HFL"), ("UFR", "LFR", "HFR"),
+                              ("UBL", "LBL", "HBL"), ("UBR", "LBR", "HBR")):
+        tops[_L[calf]] = tops[_L[thigh]] + axis_w[..., _L[thigh], :]
+        tops[_L[hock]] = tops[_L[calf]] + axis_w[..., _L[calf], :]
+
+    top = jnp.stack(tops, axis=-2)
+    bottom = top + axis_w
+    com = top + 0.5 * axis_w
+    # base link centre is exact q[0:3] (top derived from it)
+    com = com.at[..., i_base, :].set(base_com)
+    return LinkFrames(R=R, top=top, bottom=bottom, com=com)
+
+
+# (marker) -> (link, end, body-frame offset); end: 0 = top, 1 = bottom
+_MARKER_SPEC = {
+    "nose": ("neck", 1, (-0.055, 0.0, -0.055)),
+    "r_eye": ("neck", 1, (0.0, 0.045, 0.0)),
+    "l_eye": ("neck", 1, (0.0, -0.045, 0.0)),
+    "neck_base": ("neck", 0, None),
+    "spine": ("base", 1, None),
+    "tail_base": ("base", 0, None),
+    "tail1": ("tail1", 0, None),
+    "tail2": ("tail1", 1, None),
+    "r_shoulder": ("bodyF", 1, (0.06, 0.075, -0.15)),
+    "r_front_knee": ("UFR", 1, None),
+    "r_front_ankle": ("HFR", 0, None),
+    "r_front_paw": ("HFR", 1, None),
+    "l_shoulder": ("bodyF", 1, (0.06, -0.075, -0.15)),
+    "l_front_knee": ("UFL", 1, None),
+    "l_front_ankle": ("HFL", 0, None),
+    "l_front_paw": ("HFL", 1, None),
+    "r_hip": ("base", 0, (-0.06, 0.06, -0.1)),
+    "r_back_knee": ("UBR", 1, None),
+    "r_back_ankle": ("HBR", 0, None),
+    "r_back_paw": ("HBR", 1, None),
+    "l_hip": ("base", 0, (-0.06, -0.06, -0.1)),
+    "l_back_knee": ("UBL", 1, None),
+    "l_back_ankle": ("HBL", 0, None),
+    "l_back_paw": ("HBL", 1, None),
+}
+
+_MARKER_LINK = np.array([_L[_MARKER_SPEC[m][0]] for m in MARKERS])
+_MARKER_END = np.array([_MARKER_SPEC[m][1] for m in MARKERS])
+_MARKER_OFFSET = np.array(
+    [(_MARKER_SPEC[m][2] or (0.0, 0.0, 0.0)) for m in MARKERS])
+
+
+def marker_positions(frames: LinkFrames) -> jnp.ndarray:
+    """24 DLC marker world positions from link frames. (..., 24, 3)."""
+    ends = jnp.stack([frames.top, frames.bottom], axis=-3)  # (..., 2, 17, 3)
+    anchors = ends[..., _MARKER_END, _MARKER_LINK, :]       # (..., 24, 3)
+    Rm = frames.R[..., _MARKER_LINK, :, :]                  # (..., 24, 3, 3)
+    off = jnp.asarray(_MARKER_OFFSET, dtype=anchors.dtype)
+    return anchors + jnp.einsum("...mjk,mk->...mj", Rm, off)
+
+
+def fk_markers(q: jnp.ndarray, params: SubjectParams) -> jnp.ndarray:
+    """q (..., 54) -> marker positions (..., 24, 3)."""
+    return marker_positions(link_frames(q, params))
+
+
+def com_position(q: jnp.ndarray, params: SubjectParams) -> jnp.ndarray:
+    """Mass-weighted whole-body centre of mass (reference
+    ``acinoset_misc.py:722-742``). (..., 3)."""
+    frames = link_frames(q, params)
+    m = jnp.asarray(params.mass, dtype=q.dtype)
+    return jnp.einsum("i,...ij->...j", m, frames.com) / params.total_mass
+
+
+# ---------------------------------------------------------------------------
+# Relative ("pose") coordinates x in R^28
+# ---------------------------------------------------------------------------
+
+def _build_relative_maps():
+    """Constant linear map q (54) -> stacked relative angles (54), plus the
+    28-dim mask; mirrors reference ``acinoset_misc.py:487-528,1699-1757``."""
+    A = np.zeros((54, 54))
+    row = 0
+
+    def ang_ix(link: str) -> int:
+        i = _L[link]
+        return 3 if i == 0 else 3 * i + 3
+
+    # base: x y z phi theta psi verbatim
+    for j in range(6):
+        A[row, j] = 1.0
+        row += 1
+    pairs = [  # (plus, minus) per reference get_relative_angles
+        ("bodyF", "base"), ("neck", "bodyF"), ("base", "tail0"),
+        ("tail0", "tail1"),
+        ("bodyF", "UFL"), ("UFL", "LFL"), ("LFL", "HFL"),
+        ("bodyF", "UFR"), ("UFR", "LFR"), ("LFR", "HFR"),
+        ("base", "UBL"), ("UBL", "LBL"),
+        ("base", "UBR"), ("UBR", "LBR"),
+        ("LBL", "HBL"), ("LBR", "HBR"),
+    ]
+    for plus, minus in pairs:
+        for k in range(3):
+            A[row, ang_ix(plus) + k] += 1.0
+            A[row, ang_ix(minus) + k] -= 1.0
+            row += 1
+    assert row == 54
+    mask = np.zeros(54, dtype=bool)
+    mask[0:12] = True                      # base 6 + bodyF 3 + neck 3
+    mask[[13, 14, 16, 17]] = True          # tail0/tail1 theta+psi
+    for j in range(18, 54, 3):             # all legs: theta only
+        mask[j + 1] = True
+    assert mask.sum() == 28
+    return A, mask
+
+
+_A_REL_FULL, REL_MASK = _build_relative_maps()
+A_REL = _A_REL_FULL[REL_MASK]  # (28, 54)
+NX = A_REL.shape[0]
+
+
+def relative_pose(q: jnp.ndarray) -> jnp.ndarray:
+    """q (..., 54) -> reduced relative pose x (..., 28).
+
+    Linear: x = A_REL @ q. Applies equally to dq/ddq (reference applies the
+    same extraction to velocities/accelerations, ``acinoset_opt.py:320-329``).
+    """
+    A = jnp.asarray(A_REL, dtype=q.dtype)
+    return jnp.einsum("ij,...j->...i", A, q)
