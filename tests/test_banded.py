@@ -1,0 +1,93 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cheetah_pose_estimation_tpu.ops import banded
+
+
+def _random_spd_banded(rng, N, d, B, dtype=np.float64):
+    """Build an SPD block-banded matrix by forming A^T A + c I from a banded A."""
+    dense = np.zeros((N * d, N * d))
+    for t in range(N):
+        for s in range(max(0, t - B), min(N, t + B + 1)):
+            if abs(t - s) <= B:
+                blk = rng.normal(size=(d, d)) * 0.3
+                dense[t * d:(t + 1) * d, s * d:(s + 1) * d] = blk
+    H = dense.T @ dense
+    # zero out anything outside the band that A^T A created beyond B... A^T A
+    # has bandwidth 2B; instead build SPD banded directly by truncation + diag
+    Hb = np.zeros_like(H)
+    for t in range(N):
+        for s in range(N):
+            if abs(t - s) <= B:
+                Hb[t * d:(t + 1) * d, s * d:(s + 1) * d] = \
+                    H[t * d:(t + 1) * d, s * d:(s + 1) * d]
+    Hb = 0.5 * (Hb + Hb.T) + np.eye(N * d) * (np.abs(H).sum() / (N * d))
+    diag = np.stack([Hb[t * d:(t + 1) * d, t * d:(t + 1) * d]
+                     for t in range(N)])
+    lower = np.zeros((B, N, d, d))
+    for k in range(1, B + 1):
+        for t in range(N - k):
+            lower[k - 1, t] = Hb[(t + k) * d:(t + k + 1) * d,
+                                 t * d:(t + 1) * d]
+    return banded.BlockBanded(jnp.asarray(diag, dtype),
+                              jnp.asarray(lower, dtype)), Hb
+
+
+def test_matvec_and_to_dense():
+    rng = np.random.default_rng(0)
+    H, Hd = _random_spd_banded(rng, N=7, d=4, B=3)
+    x = rng.normal(size=(7, 4))
+    y = np.asarray(banded.matvec(H, jnp.asarray(x)))
+    np.testing.assert_allclose(y.ravel(), Hd @ x.ravel(), rtol=1e-10, atol=0)
+    np.testing.assert_allclose(np.asarray(banded.to_dense(H)), Hd,
+                               rtol=0, atol=1e-12)
+
+
+def test_cholesky_solve_matches_dense():
+    rng = np.random.default_rng(1)
+    for (N, d, B) in [(5, 3, 1), (9, 4, 3), (20, 6, 3), (4, 5, 3)]:
+        H, Hd = _random_spd_banded(rng, N, d, B)
+        b = rng.normal(size=(N, d))
+        x = np.asarray(banded.solve(H, jnp.asarray(b)))
+        ref = np.linalg.solve(Hd, b.ravel()).reshape(N, d)
+        np.testing.assert_allclose(x, ref, rtol=1e-8, atol=1e-10)
+
+
+def test_cholesky_factor_logdet():
+    rng = np.random.default_rng(2)
+    H, Hd = _random_spd_banded(rng, 8, 4, 2)
+    L = banded.cholesky(H)
+    ld = float(banded.logdet_from_factor(L))
+    sign, ref = np.linalg.slogdet(Hd)
+    assert sign > 0
+    np.testing.assert_allclose(ld, ref, rtol=1e-10)
+
+
+def test_vmap_batch_solve():
+    rng = np.random.default_rng(3)
+    Hs, Hds, bs = [], [], []
+    for i in range(4):
+        H, Hd = _random_spd_banded(rng, 6, 3, 2)
+        Hs.append(H)
+        Hds.append(Hd)
+        bs.append(rng.normal(size=(6, 3)))
+    Hb = banded.BlockBanded(jnp.stack([h.diag for h in Hs]),
+                            jnp.stack([h.lower for h in Hs]))
+    bb = jnp.asarray(np.stack(bs))
+    xs = np.asarray(jax.vmap(banded.solve)(Hb, bb))
+    for i in range(4):
+        ref = np.linalg.solve(Hds[i], bs[i].ravel()).reshape(6, 3)
+        np.testing.assert_allclose(xs[i], ref, rtol=1e-8, atol=1e-10)
+
+
+def test_damping():
+    rng = np.random.default_rng(4)
+    H, Hd = _random_spd_banded(rng, 5, 3, 2)
+    lam = jnp.asarray(0.7)
+    Hd2 = np.asarray(banded.to_dense(banded.add_diag_damping(H, lam)))
+    np.testing.assert_allclose(Hd2, Hd + 0.7 * np.eye(15), atol=1e-12)
+    scale = jnp.asarray(rng.uniform(1, 2, size=(5, 3)))
+    Hd3 = np.asarray(banded.to_dense(banded.add_diag_damping(H, lam, scale)))
+    np.testing.assert_allclose(
+        Hd3, Hd + 0.7 * np.diag(np.asarray(scale).ravel()), atol=1e-12)
