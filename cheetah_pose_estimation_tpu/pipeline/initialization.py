@@ -1,0 +1,126 @@
+"""Trajectory initialisation from 2D detections.
+
+Mirrors the reference ``create_trajectory_estimate`` + state init
+(``acinoset_misc.py:381-456``, ``acinoset_opt.py:570-583``): triangulate the
+spine marker (pairwise multi-view DLT, or single-view ray at a nominal 3 m
+depth for monocular), smooth x/y/z with cubic splines, estimate yaw from the
+smoothed planar velocity, and initialise every link's psi to the heading with
+all other angles zero. Host-side (numpy/scipy) data preparation — runs once
+per trial before the jitted solver.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+from scipy.interpolate import UnivariateSpline
+
+from ..models.params import SubjectParams
+from ..models.skeleton import LINK_NAMES, MARKERS
+from ..ops import camera as cam_ops
+
+SPINE = MARKERS.index("spine")
+
+
+def triangulate_spine_multiview(meas: np.ndarray, weight: np.ndarray,
+                                K, D, R, t, fisheye: bool = True
+                                ) -> np.ndarray:
+    """Mean of pairwise two-view triangulations of the spine marker.
+
+    Args:
+      meas: (N, C, L, 2[, W]) pixel detections (W>=1: base predictions used).
+      weight: (N, C, L[, W]) weights; 0 marks gated-out detections.
+    Returns:
+      (N, 3) spine positions with NaN where no pair was available.
+    """
+    if meas.ndim == 5:
+        meas = meas[..., 0]
+        weight = weight[..., 0]
+    N, C = meas.shape[:2]
+    undist = cam_ops.undistort_fisheye if fisheye else cam_ops.undistort_pinhole
+    ab = np.stack([np.asarray(undist(meas[:, c, SPINE], K[c], D[c]))
+                   for c in range(C)], axis=1)        # (N, C, 2)
+    ok = weight[:, :, SPINE] > 0                      # (N, C)
+    acc = np.zeros((N, 3))
+    cnt = np.zeros(N)
+    for i in range(C):
+        j = (i + 1) % C
+        pair_ok = ok[:, i] & ok[:, j]
+        if not pair_ok.any():
+            continue
+        X = np.asarray(cam_ops.triangulate_dlt(
+            ab[pair_ok, i], ab[pair_ok, j], R[i], t[i], R[j], t[j]))
+        acc[pair_ok] += X
+        cnt[pair_ok] += 1
+    out = np.full((N, 3), np.nan)
+    nz = cnt > 0
+    out[nz] = acc[nz] / cnt[nz, None]
+    return out
+
+
+def spine_from_single_view(meas: np.ndarray, weight: np.ndarray, cam_idx: int,
+                           K, D, R, t, fisheye: bool = True,
+                           dist_to_plane: float = 3.0) -> np.ndarray:
+    """Monocular: back-project the spine pixel to a fixed camera depth
+    (reference triangulate_points_single_img, dist 3 m,
+    acinoset_misc.py:414-423)."""
+    if meas.ndim == 5:
+        meas = meas[..., 0]
+        weight = weight[..., 0]
+    undist = cam_ops.undistort_fisheye if fisheye else cam_ops.undistort_pinhole
+    ab = np.asarray(undist(meas[:, cam_idx, SPINE], K[cam_idx], D[cam_idx]))
+    X = np.asarray(cam_ops.backproject_to_distance(
+        ab, dist_to_plane, R[cam_idx], t[cam_idx]))
+    ok = weight[:, cam_idx, SPINE] > 0
+    X[~ok] = np.nan
+    return X
+
+
+def smooth_and_head(spine: np.ndarray, linear: bool = False):
+    """Cubic-spline smooth the (possibly NaN-holed) spine track and estimate
+    the yaw from planar velocity (pi + atan2, reference assumption that the
+    cheetah runs in +x, acinoset_misc.py:449-454)."""
+    N = spine.shape[0]
+    fr = np.arange(N, dtype=float)
+    ok = np.isfinite(spine).all(axis=1)
+    k = 1 if linear else 3
+    if ok.sum() <= k:
+        sm = np.repeat(np.nanmean(spine, axis=0, keepdims=True), N, axis=0)
+        sm = np.nan_to_num(sm)
+    else:
+        sm = np.stack([
+            UnivariateSpline(fr[ok], spine[ok, i], k=k)(fr)
+            for i in range(3)], axis=1)
+    d = np.gradient(sm[:, :2], axis=0)
+    psi = np.pi + np.arctan2(d[:, 1], d[:, 0])
+    return sm, psi
+
+
+def initial_q(spine_smooth: np.ndarray, psi: np.ndarray,
+              subject: SubjectParams) -> np.ndarray:
+    """Assemble q0: base centre half a body-length behind the spine marker
+    along the running direction, all psi set to the heading, everything else
+    zero (reference acinoset_opt.py:574-583 with the spine/base offset of
+    acinoset_misc.py:424)."""
+    N = spine_smooth.shape[0]
+    q0 = np.zeros((N, 54))
+    q0[:, :3] = spine_smooth
+    # reference adds +length/2 to x only (assumes +x running direction)
+    q0[:, 0] += subject.length[0] / 2.0
+    for i in range(len(LINK_NAMES)):
+        q0[:, 5 if i == 0 else 3 * i + 5] = psi
+    return q0
+
+
+def initialize_trajectory(meas: np.ndarray, weight: np.ndarray, K, D, R, t,
+                          subject: SubjectParams, fisheye: bool = True,
+                          cam_idx: Optional[int] = None,
+                          kinetic_dataset: bool = False) -> np.ndarray:
+    """Full init path: returns q0 (N, 54)."""
+    if cam_idx is None:
+        spine = triangulate_spine_multiview(meas, weight, K, D, R, t, fisheye)
+    else:
+        spine = spine_from_single_view(meas, weight, cam_idx, K, D, R, t,
+                                       fisheye)
+    sm, psi = smooth_and_head(spine, linear=kinetic_dataset)
+    return initial_q(sm, psi, subject)

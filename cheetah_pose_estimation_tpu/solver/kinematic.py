@@ -1,0 +1,429 @@
+"""Kinematic FTE: trajectory estimation as a robust nonlinear least-squares
+problem over q in R^(N x 54), solved by damped Gauss-Newton on a block-banded
+normal system.
+
+Mirrors the reference objective (``acinoset_opt.py:539-635``):
+
+  cost = 1e-3 * ( measurement + const-acc model + [GMM pose] + [AR motion] )
+
+with joint-limit box constraints (``cheetah.py:203-356``) as quadratic hinge
+penalties. The implicit-Euler collocation variables dq/ddq of the reference
+are eliminated exactly: with q[n] = q[n-1] + h dq[n] and dq[n] = dq[n-1] +
+h ddq[n], the constant-acceleration slack w[n] = ddq[n] - ddq[n-1] is the
+third difference of q, so the state is q alone and the normal matrix is
+block-banded with bandwidth 3.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import skeleton as sk
+from ..models.params import SubjectParams
+from ..ops import banded, camera, losses
+
+NQ = 54
+BANDWIDTH = 3
+# third-difference stencil coefficients: w[t] = (q[t] -3q[t-1] +3q[t-2] -q[t-3])/h^2
+_ACC_STENCIL = np.array([1.0, -3.0, 3.0, -1.0])
+
+
+class CameraSet(NamedTuple):
+    """Stacked calibrated cameras. Shapes: K (C,3,3), D (C,4), R (C,3,3), t (C,3)."""
+    K: jnp.ndarray
+    D: jnp.ndarray
+    R: jnp.ndarray
+    t: jnp.ndarray
+
+
+class GMMPrior(NamedTuple):
+    """Gaussian-mixture pose prior over the 22 relative joint angles
+    (reference ``gmm_pose_cost``, acinoset_misc.py:680-714)."""
+    means: jnp.ndarray      # (K, 22)
+    prec: jnp.ndarray       # (K, 22, 22) inverse covariances
+    log_norm: jnp.ndarray   # (K,) log w_k - 0.5 log det(2 pi Sigma_k)
+
+
+class ARAnchor(NamedTuple):
+    """Fixed linear-motion-model predictions (reference
+    ``add_linear_motion_model``: y_pred computed once from the initial values,
+    acinoset_misc.py:316-328)."""
+    y_pred: jnp.ndarray   # (N, 28)
+    weight: jnp.ndarray   # (28,) = 1/sigma^2_resid (0 -> disabled dim)
+    valid: jnp.ndarray    # (N,) 1.0 for frames with an active constraint
+
+
+class KinematicData(NamedTuple):
+    """Per-trial arrays (a pytree: vmap/shard over leading batch dims)."""
+    meas: jnp.ndarray         # (N, C, L, 2, W) pixel measurements
+    weight: jnp.ndarray       # (N, C, L, W) 1/R weights, likelihood-gated
+    cam: CameraSet
+    h: jnp.ndarray            # scalar timestep = 1/fps
+    acc_weight: jnp.ndarray   # (54,) model error weights 1/Q (0 = free dim)
+    frame_valid: jnp.ndarray  # (N,) 1.0 for real frames, 0.0 for padding
+    gmm: GMMPrior
+    ar: ARAnchor
+
+
+@dataclasses.dataclass(frozen=True)
+class KinematicConfig:
+    fisheye: bool = True
+    robust: bool = True           # redescending vs plain quadratic (hand-labeled)
+    use_gmm: bool = False
+    use_ar: bool = False
+    kinetic_dataset: bool = False
+    limit_penalty: float = 1e5
+    curvature_floor: float = 1e-3
+    cam_multipliers: Tuple[float, ...] = ()  # kinetic: (1,1,.6,.6)
+
+
+# ---------------------------------------------------------------------------
+# Joint-limit tables (reference cheetah.py:203-356, absolute-angle branch)
+# ---------------------------------------------------------------------------
+
+def _ang(link: str, comp: str) -> int:
+    i = sk.LINK_INDEX[link]
+    base = 3 if i == 0 else 3 * i + 3
+    return base + {"phi": 0, "theta": 1, "psi": 2}[comp]
+
+
+def joint_limit_table(kinetic_dataset: bool = False):
+    """Rows (g, lo, hi) with lo <= g . q <= hi."""
+    PI = np.pi
+    rows = []
+
+    def rel(a, b, comp, lo, hi):
+        g = np.zeros(NQ)
+        g[_ang(a, comp)] += 1.0
+        g[_ang(b, comp)] -= 1.0
+        rows.append((g, lo, hi))
+
+    def absq(a, comp, lo, hi):
+        g = np.zeros(NQ)
+        g[_ang(a, comp)] += 1.0
+        rows.append((g, lo, hi))
+
+    if kinetic_dataset:
+        rel("neck", "bodyF", "psi", -0.05, 0.05)
+        rel("neck", "bodyF", "phi", -0.05, 0.05)
+        absq("base", "phi", -0.05, 0.05)
+        rel("bodyF", "base", "psi", -0.1, 0.1)
+        rel("bodyF", "base", "phi", -0.1, 0.1)
+        rel("base", "tail0", "psi", -0.1, 0.1)
+    else:
+        rel("neck", "bodyF", "psi", -PI / 6, PI / 6)
+        rel("neck", "bodyF", "phi", -PI / 6, PI / 6)
+        absq("base", "phi", -PI / 6, PI / 6)
+        rel("bodyF", "base", "psi", -PI / 6, PI / 6)
+        rel("bodyF", "base", "phi", -PI / 6, PI / 6)
+        rel("base", "tail0", "psi", -PI / 1.5, PI / 1.5)
+    rel("neck", "bodyF", "theta", -PI / 6, PI / 6)
+    rel("bodyF", "base", "theta", -PI / 6, PI / 6)
+    rel("base", "tail0", "theta", -PI / 1.5, PI / 1.5)
+    rel("tail0", "tail1", "theta", -PI / 1.5, PI / 1.5)
+    rel("tail0", "tail1", "psi", -PI / 1.5, PI / 1.5)
+    for body, thigh, calf, hock, name in (
+            ("bodyF", "UFL", "LFL", "HFL", "FL"),
+            ("bodyF", "UFR", "LFR", "HFR", "FR"),
+            ("base", "UBL", "LBL", "HBL", "BL"),
+            ("base", "UBR", "LBR", "HBR", "BR")):
+        rel(body, thigh, "theta", -0.75 * PI, 0.75 * PI)
+        lo, hi = (0.0, PI) if name.startswith("B") else (-PI, 0.0)
+        rel(thigh, calf, "theta", lo, hi)
+        lo, hi = (-0.75 * PI, 0.0) if name.startswith("B") else (-PI / 4,
+                                                                 0.75 * PI)
+        rel(calf, hock, "theta", lo, hi)
+    G = np.stack([r[0] for r in rows])
+    lo = np.array([r[1] for r in rows])
+    hi = np.array([r[2] for r in rows])
+    return G, lo, hi
+
+
+# ---------------------------------------------------------------------------
+# Constant-acceleration (third difference) banded quadratic
+# ---------------------------------------------------------------------------
+
+def acc_banded(h: jnp.ndarray, acc_weight: jnp.ndarray,
+               frame_valid: jnp.ndarray) -> banded.BlockBanded:
+    """H = nabla^2 of sum_t sum_p W_p w[t,p]^2 (factor 2 included).
+
+    w[t] valid for t >= 3 and when all four stencil frames are real.
+    Returns block-banded (N, 54) structure with diagonal weight blocks.
+    """
+    N = frame_valid.shape[0]
+    dtype = acc_weight.dtype
+    c = jnp.asarray(_ACC_STENCIL, dtype)
+    # residual validity: frames t-3..t all real and t >= 3
+    v = frame_valid
+    res_valid = jnp.zeros(N, dtype)
+    if N > 3:
+        rv = v[3:] * v[2:-1] * v[1:-2] * v[:-3]
+        res_valid = res_valid.at[3:].set(rv)
+    w = 2.0 * acc_weight / h**4  # factor 2: nabla^2 of quadratic
+    # diag[t] = sum_a c_a^2 * res_valid[t+a] (residual at frame t+a uses q[t] with
+    # coefficient c_a)
+    diag_coef = jnp.zeros(N, dtype)
+    low_coef = [jnp.zeros(N, dtype) for _ in range(BANDWIDTH)]
+    for a in range(4):
+        # residual index r = t + a must be within [0, N)
+        seg = jnp.zeros(N, dtype)
+        if N - a > 0:
+            seg = seg.at[:N - a].set(res_valid[a:])
+        diag_coef = diag_coef + c[a] * c[a] * seg
+        for k in range(1, BANDWIDTH + 1):
+            b = a + k
+            if b > 3:
+                continue
+            segk = jnp.zeros(N, dtype)
+            if N - b > 0:
+                segk = segk.at[:N - b].set(res_valid[b:])
+            # H[t+k, t] += c_a c_b res_valid[t+b]  with r = t+b, r-a = t+k
+            low_coef[k - 1] = low_coef[k - 1] + c[a] * c[b] * segk
+    eyeW = jnp.diag(w)
+    diag = diag_coef[:, None, None] * eyeW[None]
+    lower = jnp.stack([lc[:, None, None] * eyeW[None] for lc in low_coef])
+    return banded.BlockBanded(diag=diag, lower=lower)
+
+
+def acc_cost(q: jnp.ndarray, h: jnp.ndarray, acc_weight: jnp.ndarray,
+             frame_valid: jnp.ndarray) -> jnp.ndarray:
+    N = q.shape[0]
+    if N <= 3:
+        return jnp.zeros((), q.dtype)
+    w3 = (q[3:] - 3 * q[2:-1] + 3 * q[1:-2] - q[:-3]) / h**2
+    rv = (frame_valid[3:] * frame_valid[2:-1] * frame_valid[1:-2]
+          * frame_valid[:-3])
+    return jnp.sum(rv[:, None] * acc_weight[None, :] * w3 * w3)
+
+
+# ---------------------------------------------------------------------------
+# Problem factory
+# ---------------------------------------------------------------------------
+
+class KinematicFTE:
+    """Jit-compiled cost/normal functions for one (config, subject) pair.
+
+    Instances are cheap; arrays live in ``KinematicData`` so a single compiled
+    function serves every trial of the same shape (and vmaps over batches).
+    """
+
+    def __init__(self, config: KinematicConfig, subject: SubjectParams):
+        self.config = config
+        self.subject = subject
+        G, lo, hi = joint_limit_table(config.kinetic_dataset)
+        self._G = G
+        self._lo = lo
+        self._hi = hi
+        self._A22 = sk.A_REL[6:]  # (22, 54) relative joint angles
+        self._A28 = sk.A_REL      # (28, 54)
+        self.cost = jax.jit(self._cost)
+        self.normal = jax.jit(self._normal)
+        self._solve_cache = {}
+
+    # -- measurement ---------------------------------------------------------
+    def _project(self, pts: jnp.ndarray, cam: CameraSet) -> jnp.ndarray:
+        proj = camera.project_fisheye if self.config.fisheye else \
+            camera.project_pinhole
+        return jax.vmap(lambda K, D, R, t: proj(pts, K, D, R, t))(
+            cam.K, cam.D, cam.R, cam.t)  # (C, 24, 2)
+
+    def _meas_weights(self, data: KinematicData) -> jnp.ndarray:
+        """(N, C, L, 1, W) weights incl. camera uncertainty multipliers."""
+        w = data.weight[:, :, :, None, :]
+        if self.config.cam_multipliers:
+            m = jnp.asarray(self.config.cam_multipliers,
+                            dtype=w.dtype)[: w.shape[1]]
+            w = w * m[None, :, None, None, None]
+        return w * data.frame_valid[:, None, None, None, None]
+
+    # -- full cost -----------------------------------------------------------
+    def _cost(self, q: jnp.ndarray, data: KinematicData,
+              loss_scale: jnp.ndarray = 1.0) -> jnp.ndarray:
+        cfg = self.config
+        w_all = self._meas_weights(data)
+        s = jnp.asarray(loss_scale, q.dtype)
+
+        def frame_meas_cost(q_t, meas_t, w_t):
+            pts = sk.fk_markers(q_t, self.subject)
+            uv = self._project(pts, data.cam)
+            res = uv[..., None] - meas_t
+            if cfg.robust:
+                return jnp.sum(losses.redescending(w_t * res, 3.0 * s,
+                                                   10.0 * s, 20.0 * s))
+            return jnp.sum((w_t * res) ** 2)
+
+        meas = jnp.sum(jax.vmap(frame_meas_cost)(q, data.meas, w_all))
+        model = acc_cost(q, data.h, data.acc_weight, data.frame_valid)
+        pose = jnp.zeros((), q.dtype)
+        motion = jnp.zeros((), q.dtype)
+        if cfg.use_gmm:
+            x22 = jnp.einsum("ij,tj->ti", jnp.asarray(self._A22, q.dtype), q)
+            pose = jnp.sum(data.frame_valid
+                           * self._gmm_neglog(x22, data.gmm))
+        if cfg.use_ar:
+            x28 = jnp.einsum("ij,tj->ti", jnp.asarray(self._A28, q.dtype), q)
+            r = x28 - data.ar.y_pred
+            motion = jnp.sum(data.ar.valid[:, None] * data.ar.weight[None, :]
+                             * r * r)
+        penalty = self._limit_cost(q, data.frame_valid)
+        return meas + model + pose + motion + penalty
+
+    def objective(self, q: jnp.ndarray, data: KinematicData) -> jnp.ndarray:
+        """Reference-scaled objective (1e-3 factor, without limit penalty) for
+        parity with the reported ``obj_cost`` (acinoset_opt.py:602)."""
+        return 1e-3 * (self.cost(q, data)
+                       - self._limit_cost(q, data.frame_valid))
+
+    # -- GMM -----------------------------------------------------------------
+    def _gmm_logpdf_terms(self, x22, gmm: GMMPrior):
+        dx = x22[:, None, :] - gmm.means[None, :, :]          # (N, K, 22)
+        quad = jnp.einsum("nki,kij,nkj->nk", dx, gmm.prec, dx)
+        return gmm.log_norm[None, :] - 0.5 * quad             # (N, K)
+
+    def _gmm_neglog(self, x22, gmm: GMMPrior):
+        lt = self._gmm_logpdf_terms(x22, gmm)
+        lse = jax.scipy.special.logsumexp(lt, axis=1)
+        # reference adds +1e-12 inside the log (acinoset_misc.py:699-707)
+        return -jnp.logaddexp(lse, jnp.log(1e-12))
+
+    # -- joint limits --------------------------------------------------------
+    def _limit_cost(self, q, frame_valid):
+        G = jnp.asarray(self._G, q.dtype)
+        lo = jnp.asarray(self._lo, q.dtype)
+        hi = jnp.asarray(self._hi, q.dtype)
+        v = jnp.einsum("cj,tj->tc", G, q)
+        viol = jnp.maximum(v - hi[None], 0.0) + jnp.maximum(lo[None] - v, 0.0)
+        return self.config.limit_penalty * jnp.sum(
+            frame_valid[:, None] * viol * viol)
+
+    # -- normal equations ----------------------------------------------------
+    def _normal(self, q: jnp.ndarray, data: KinematicData,
+                loss_scale: jnp.ndarray = 1.0
+                ) -> Tuple[jnp.ndarray, banded.BlockBanded]:
+        cfg = self.config
+        N = q.shape[0]
+        dtype = q.dtype
+        s = jnp.asarray(loss_scale, q.dtype)
+        w_all = self._meas_weights(data)
+
+        # measurement: per-frame J^T W J via jacfwd over the 54-dim state
+        def frame_terms(q_t, meas_t, w_t):
+            def res_fn(qq):
+                pts = sk.fk_markers(qq, self.subject)
+                uv = self._project(pts, data.cam)
+                return (uv[..., None] - meas_t).ravel()
+
+            r = res_fn(q_t)
+            J = jax.jacfwd(res_fn)(q_t)                  # (M, 54)
+            w = jnp.broadcast_to(w_t, meas_t.shape).ravel()
+            if cfg.robust:
+                gw, hw = losses.gauss_newton_weights(
+                    r, w, losses.redescending, cfg.curvature_floor,
+                    loss_params=(3.0 * s, 10.0 * s, 20.0 * s))
+            else:
+                gw, hw = 2.0 * w * w * r, 2.0 * w * w
+                hw = jnp.broadcast_to(hw, r.shape)
+            g_t = J.T @ gw
+            H_t = (J * hw[:, None]).T @ J
+            return g_t, H_t
+
+        g_meas, H_meas = jax.vmap(frame_terms)(q, data.meas, w_all)
+
+        # constant-acceleration banded quadratic (linear -> exact)
+        H_acc = acc_banded(data.h, data.acc_weight, data.frame_valid)
+        g_acc = banded.matvec(H_acc, q)
+
+        Hdiag = H_acc.diag + H_meas
+        g = g_acc + g_meas
+
+        if cfg.use_gmm:
+            A22 = jnp.asarray(self._A22, dtype)
+            x22 = jnp.einsum("ij,tj->ti", A22, q)
+            lt = self._gmm_logpdf_terms(x22, data.gmm)
+            lse = jax.scipy.special.logsumexp(lt, axis=1)
+            gamma = jax.nn.softmax(lt, axis=1)            # (N, K)
+            # d/dx of -log(p + eps) = p/(p+eps) * sum_k gamma_k Prec_k (x-mu_k)
+            factor = jnp.exp(lse - jnp.logaddexp(lse, jnp.log(1e-12)))
+            dx = x22[:, None, :] - data.gmm.means[None]
+            gx = jnp.einsum("nk,kij,nkj->ni", gamma, data.gmm.prec, dx)
+            gx = gx * factor[:, None] * data.frame_valid[:, None]
+            # EM/MM surrogate curvature: sum_k gamma_k Prec_k (PSD)
+            Hx = jnp.einsum("nk,kij->nij", gamma * (factor
+                                                    * data.frame_valid)[:, None],
+                            data.gmm.prec)
+            g = g + jnp.einsum("ij,ti->tj", A22, gx)
+            Hdiag = Hdiag + jnp.einsum("ia,tij,jb->tab", A22, Hx, A22)
+
+        if cfg.use_ar:
+            A28 = jnp.asarray(self._A28, dtype)
+            x28 = jnp.einsum("ij,tj->ti", A28, q)
+            r = x28 - data.ar.y_pred
+            wv = data.ar.weight[None, :] * data.ar.valid[:, None]
+            g = g + 2.0 * jnp.einsum("ij,ti->tj", A28, wv * r)
+            HA = jnp.einsum("ia,ti,ib->tab", A28, wv, A28)
+            Hdiag = Hdiag + 2.0 * HA
+
+        # joint-limit hinge (active-set quadratic)
+        G = jnp.asarray(self._G, dtype)
+        lo = jnp.asarray(self._lo, dtype)
+        hi = jnp.asarray(self._hi, dtype)
+        v = jnp.einsum("cj,tj->tc", G, q)
+        up_viol = jnp.maximum(v - hi[None], 0.0)
+        lo_viol = jnp.maximum(lo[None] - v, 0.0)
+        viol_grad = up_viol - lo_viol  # signed violation
+        active = ((up_viol > 0) | (lo_viol > 0)).astype(dtype)
+        mu = self.config.limit_penalty
+        fv = data.frame_valid[:, None]
+        g = g + 2.0 * mu * jnp.einsum("cj,tc->tj", G, fv * viol_grad)
+        Hlim = jnp.einsum("ca,tc,cb->tab", G, fv * active * 2.0 * mu, G)
+        Hdiag = Hdiag + Hlim
+
+        # padded frames: identity anchor to keep H nonsingular
+        pad = (1.0 - data.frame_valid)[:, None, None]
+        Hdiag = Hdiag + pad * jnp.eye(NQ, dtype=dtype)[None]
+
+        H = banded.BlockBanded(diag=Hdiag, lower=H_acc.lower)
+        return g, H
+
+    # -- annealed solve ------------------------------------------------------
+    def make_solver(self,
+                    stages: Tuple[Tuple[float, int], ...] = (
+                        (10.0, 30), (3.0, 30), (1.0, 150)),
+                    ftol: float = 1e-9, lam0: float = 1e-2):
+        """Jitted graduated-non-convexity solve: anneal the redescending loss
+        thresholds (scale s: wide -> 1) so early iterations see gradient
+        everywhere, then tighten to the reference's exact (3, 10, 20) loss.
+
+        Returns run(q0, data) -> LMState. vmap over a leading batch dim works
+        (jax.vmap(run)).
+        """
+        from . import gn as gn_mod
+        key = (stages, ftol, lam0)
+        if key in self._solve_cache:
+            return self._solve_cache[key]
+
+        if not self.config.robust:
+            stages_eff = ((1.0, sum(it for _, it in stages)),)
+        else:
+            stages_eff = stages
+
+        def run(q0: jnp.ndarray, data: KinematicData) -> gn_mod.LMState:
+            state_q = q0
+            lam = lam0
+            final = None
+            for scale, iters in stages_eff:
+                cost_fn = lambda q, _s=scale: self._cost(q, data, _s)
+                normal_fn = lambda q, _s=scale: self._normal(q, data, _s)
+                final = gn_mod.lm_solve(
+                    cost_fn, normal_fn, state_q,
+                    gn_mod.LMConfig(max_iters=iters, ftol=ftol, lam0=lam))
+                state_q = final.q
+            return final
+
+        run_jit = jax.jit(run)
+        self._solve_cache[key] = run_jit
+        return run_jit

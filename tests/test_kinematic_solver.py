@@ -1,0 +1,126 @@
+"""Kinematic FTE solver: gradient exactness and synthetic end-to-end recovery."""
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cheetah_pose_estimation_tpu.data import synthetic as syn
+from cheetah_pose_estimation_tpu.models import noise as noise_tables
+from cheetah_pose_estimation_tpu.models import params as P
+from cheetah_pose_estimation_tpu.models import skeleton as sk
+from cheetah_pose_estimation_tpu.ops import banded
+from cheetah_pose_estimation_tpu.solver import gn
+from cheetah_pose_estimation_tpu.solver import kinematic as kin
+
+REF_PICKLE = ("/root/reference/data/test_set/2019_03_07/phantom/run/"
+              "fte_kinematic/fte.pickle")
+
+
+def _make_data(trial: syn.SyntheticTrial, use_gmm=False, use_ar=False,
+               n_gmm=3, seed=0) -> kin.KinematicData:
+    rng = np.random.default_rng(seed)
+    N = trial.q_gt.shape[0]
+    w = syn.gated_weights(trial)
+    if use_gmm:
+        means = rng.normal(scale=0.3, size=(n_gmm, 22))
+        A = rng.normal(size=(n_gmm, 22, 22)) * 0.1
+        prec = np.einsum("kij,klj->kil", A, A) + np.eye(22)[None] * 2.0
+        log_norm = rng.normal(size=(n_gmm,))
+        gmm = kin.GMMPrior(jnp.asarray(means), jnp.asarray(prec),
+                           jnp.asarray(log_norm))
+    else:
+        gmm = kin.GMMPrior(jnp.zeros((1, 22)), jnp.eye(22)[None],
+                           jnp.zeros((1,)))
+    if use_ar:
+        ar = kin.ARAnchor(jnp.asarray(rng.normal(scale=0.2, size=(N, 28))),
+                          jnp.asarray(rng.uniform(0.5, 2.0, size=28)),
+                          jnp.asarray((np.arange(N) >= 4).astype(float)))
+    else:
+        ar = kin.ARAnchor(jnp.zeros((N, 28)), jnp.zeros(28), jnp.zeros(N))
+    return kin.KinematicData(
+        meas=jnp.asarray(trial.meas),
+        weight=jnp.asarray(w),
+        cam=kin.CameraSet(jnp.asarray(trial.scene.K),
+                          jnp.asarray(trial.scene.D),
+                          jnp.asarray(trial.scene.R),
+                          jnp.asarray(trial.scene.t)),
+        h=jnp.asarray(1.0 / trial.scene.fps),
+        acc_weight=jnp.asarray(noise_tables.acc_model_weights()),
+        frame_valid=jnp.ones(N),
+        gmm=gmm, ar=ar)
+
+
+def _small_trial(n=8, n_cams=2, seed=0):
+    subject = P.get_subject("acinoset")
+    q = syn.gallop_trajectory(n_frames=n, seed=seed)
+    center = np.asarray(sk.fk_markers(q, subject)).mean(axis=(0, 1))
+    scene = syn.ring_cameras(center, n_cams=n_cams, seed=seed)
+    return syn.synthesize(q, subject, scene, seed=seed), subject
+
+
+def test_normal_gradient_matches_autodiff():
+    trial, subject = _small_trial()
+    cfg = kin.KinematicConfig(fisheye=True, robust=True, use_gmm=True,
+                              use_ar=True)
+    fte = kin.KinematicFTE(cfg, subject)
+    data = _make_data(trial, use_gmm=True, use_ar=True)
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(trial.q_gt + rng.normal(scale=0.1,
+                                            size=trial.q_gt.shape))
+    g, H = fte.normal(q, data)
+    g_ref = jax.grad(lambda qq: fte._cost(qq, data))(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_acc_banded_matches_autodiff_hessian():
+    N, d = 7, 54
+    h = jnp.asarray(0.01)
+    w = jnp.asarray(noise_tables.acc_model_weights())
+    fv = jnp.ones(N)
+    H = kin.acc_banded(h, w, fv)
+    flat_cost = lambda qf: kin.acc_cost(qf.reshape(N, d), h, w, fv)
+    Hd_ref = jax.hessian(flat_cost)(jnp.zeros(N * d))
+    np.testing.assert_allclose(np.asarray(banded.to_dense(H)),
+                               np.asarray(Hd_ref), rtol=1e-8, atol=1e-6)
+    # gradient consistency at random q
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(N, d)))
+    g = banded.matvec(H, q)
+    g_ref = jax.grad(lambda qq: kin.acc_cost(qq, h, w, fv))(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-8, atol=1e-8)
+
+
+def test_end_to_end_multiview_recovery():
+    if not os.path.exists(REF_PICKLE):
+        pytest.skip("reference pickle unavailable")
+    from cheetah_pose_estimation_tpu.pipeline import initialization as init
+    with open(REF_PICKLE, "rb") as f:
+        q_gt = pickle.load(f)["q"]
+    subject = P.get_subject("phantom")
+    markers = np.asarray(sk.fk_markers(q_gt, subject))
+    scene = syn.ring_cameras(markers.mean(axis=(0, 1)), n_cams=6, seed=3)
+    trial = syn.synthesize(q_gt, subject, scene, noise_px=1.5,
+                           outlier_frac=0.02, seed=3,
+                           subject_name="phantom")
+    cfg = kin.KinematicConfig(fisheye=True, robust=True)
+    fte = kin.KinematicFTE(cfg, subject)
+    data = _make_data(trial)
+    q0 = jnp.asarray(init.initialize_trajectory(
+        trial.meas, syn.gated_weights(trial), scene.K, scene.D, scene.R,
+        scene.t, subject, fisheye=True))
+    run = fte.make_solver()
+    state = run(q0, data)
+    q_est = np.asarray(state.q)
+    rec = np.asarray(sk.fk_markers(q_est, subject))
+    mpjpe_mm = np.mean(np.linalg.norm(rec - trial.markers_gt, axis=2)) * 1000
+    assert float(state.cost) < float(fte.cost(q0, data))
+    # with 6 cameras and 1.5 px noise the reconstruction should be mm-level
+    assert mpjpe_mm < 12.0, f"MPJPE {mpjpe_mm:.1f} mm"
+    # solver should reach at least the cost of the ground-truth configuration
+    # (GT is not the optimum of the noisy objective, so this is achievable)
+    assert float(state.cost) <= float(fte.cost(jnp.asarray(q_gt), data))
