@@ -1,0 +1,203 @@
+"""Windowed linear autoregressive motion model.
+
+Replaces the reference ``MotionModel`` (``acinoset_models.py:173-274``):
+predict the 28-dim relative pose at time t from the previous ``window_size``
+poses with either ordinary least squares or a MultiTaskLasso
+(alpha=1e-2, row-grouped L21 penalty) — here solved with jit-compiled FISTA
+instead of sklearn's coordinate descent. The per-dimension residual variance
+on the training set drives the in-solver motion weights (1/var), and models
+are cached on disk keyed by the md5 of their hyper-parameters (same scheme as
+``acinoset_models.py:17-24,191-211``).
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import dataset as ds
+
+
+def unique_id(values: Tuple) -> str:
+    m = hashlib.md5()
+    for s in [str(x) for x in values]:
+        m.update(s.encode())
+    return m.hexdigest()
+
+
+def fit_linear(X: np.ndarray, y: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """OLS with intercept: returns (coef (d_out, d_in), intercept (d_out,))."""
+    Xm, ym = X.mean(axis=0), y.mean(axis=0)
+    Xc, yc = X - Xm, y - ym
+    coef, *_ = np.linalg.lstsq(Xc, yc, rcond=None)
+    coef = coef.T
+    intercept = ym - coef @ Xm
+    return coef, intercept
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _fista(Xc: jnp.ndarray, yc: jnp.ndarray, alpha: jnp.ndarray,
+           iters: int = 4000):
+    """MultiTaskLasso: min (1/2n)||Y - X W^T||_F^2 + alpha sum_j ||W[:, j]||_2.
+
+    FISTA with constant step 1/L, L = lambda_max(X^T X)/n (power iteration).
+    """
+    n = Xc.shape[0]
+    G = Xc.T @ Xc / n                      # (p, p)
+    v = jnp.ones((G.shape[0],), Xc.dtype)
+
+    def power(v, _):
+        v = G @ v
+        return v / jnp.linalg.norm(v), None
+
+    v, _ = jax.lax.scan(power, v / jnp.linalg.norm(v), None, length=100)
+    L = jnp.dot(v, G @ v)
+    step = 1.0 / L
+    Xty = Xc.T @ yc / n                    # (p, d_out)
+
+    def prox(W, thr):
+        # W: (d_out, p); group = column j (feature) across tasks
+        norms = jnp.linalg.norm(W, axis=0, keepdims=True)
+        scale = jnp.maximum(0.0, 1.0 - thr / jnp.maximum(norms, 1e-30))
+        return W * scale
+
+    W0 = jnp.zeros((yc.shape[1], Xc.shape[1]), Xc.dtype)
+
+    def body(carry, _):
+        W, Z, tk = carry
+        grad = (G @ Z.T - Xty).T           # (d_out, p)
+        Wn = prox(Z - step * grad, step * alpha)
+        tn = 0.5 * (1 + jnp.sqrt(1 + 4 * tk * tk))
+        Zn = Wn + ((tk - 1) / tn) * (Wn - W)
+        return (Wn, Zn, tn), None
+
+    (W, _, _), _ = jax.lax.scan(body, (W0, W0, jnp.asarray(1.0, Xc.dtype)),
+                                None, length=iters)
+    return W
+
+
+def fit_multitask_lasso(X: np.ndarray, y: np.ndarray, alpha: float = 1e-2,
+                        iters: int = 4000,
+                        zero_clip: float = 1e-10
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    """Returns (coef (d_out, d_in), intercept (d_out,))."""
+    Xm, ym = X.mean(axis=0), y.mean(axis=0)
+    W = np.array(_fista(jnp.asarray(X - Xm), jnp.asarray(y - ym),
+                        jnp.asarray(alpha, X.dtype), iters))
+    W[np.abs(W) < zero_clip] = 0.0
+    intercept = ym - W @ Xm
+    return W, intercept
+
+
+@dataclass
+class MotionModel:
+    """Trained AR model + residual statistics."""
+
+    coef: np.ndarray           # (28, 28*window_size)
+    intercept: np.ndarray      # (28,)
+    error_variance: np.ndarray  # (28,) train residual variance
+    train_rmse: float
+    validation_rmse: float
+    window_size: int
+    window_time: int
+    lasso: bool
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        X = np.asarray(X)
+        if X.ndim == 1:
+            return self.coef @ X + self.intercept
+        return X @ self.coef.T + self.intercept[None, :]
+
+    @property
+    def model_non_zeros(self) -> int:
+        return int(np.count_nonzero(self.coef))
+
+
+def train_motion_model(dataset_fname: str, num_vars: int = 28,
+                       start_idx: int = 0, window_size: int = 4,
+                       window_time: int = 1, lasso: bool = True,
+                       alpha: float = 1e-2,
+                       cache_dir: Optional[str] = None,
+                       validation_fname: Optional[str] = None) -> MotionModel:
+    """Train (or load from cache) the AR motion model.
+
+    Cache key matches the reference scheme (md5 over the same tuple), with a
+    ``.tpu`` suffix since the payload format differs from the sklearn dills.
+    """
+    df = ds.load_pose_dataset(dataset_fname)
+    data = df.iloc[:, start_idx:start_idx + num_vars].to_numpy()
+    X, y = ds.windowed_dataset(data, df.index.values, window_size, window_time)
+    if validation_fname is None:
+        validation_fname = os.path.join(os.path.dirname(dataset_fname),
+                                        "validation_dataset.h5")
+    dfv = ds.load_pose_dataset(validation_fname)
+    datav = dfv.iloc[:, start_idx:start_idx + num_vars].to_numpy()
+    Xv, yv = ds.windowed_dataset(datav, dfv.index.values, window_size,
+                                 window_time)
+
+    uid = unique_id((os.path.basename(dataset_fname), num_vars, start_idx,
+                     window_size, window_time, lasso, False))
+    cache_path = None
+    if cache_dir is not None:
+        os.makedirs(cache_dir, exist_ok=True)
+        cache_path = os.path.join(cache_dir, f"lr_model_{uid}.tpu")
+    if cache_path and os.path.isfile(cache_path):
+        with open(cache_path, "rb") as f:
+            coef, intercept = pickle.load(f)
+    else:
+        if lasso:
+            coef, intercept = fit_multitask_lasso(X, y, alpha)
+        else:
+            coef, intercept = fit_linear(X, y)
+        if cache_path:
+            with open(cache_path, "wb") as f:
+                pickle.dump((coef, intercept), f)
+
+    resid = y - (X @ coef.T + intercept[None])
+    residv = yv - (Xv @ coef.T + intercept[None])
+    return MotionModel(
+        coef=coef, intercept=intercept,
+        error_variance=np.var(resid, axis=0),
+        train_rmse=float(np.sqrt(np.mean(resid**2))),
+        validation_rmse=float(np.sqrt(np.mean(residv**2))),
+        window_size=window_size, window_time=window_time, lasso=lasso)
+
+
+def motion_weights(model: MotionModel) -> np.ndarray:
+    """(28,) in-solver weights 1/var (0 where var==0), reference
+    acinoset_misc.py:307."""
+    w = np.zeros_like(model.error_variance)
+    nz = model.error_variance != 0
+    w[nz] = 1.0 / model.error_variance[nz]
+    return w
+
+
+def anchor_predictions(model: MotionModel, x_init: np.ndarray):
+    """Fixed AR predictions from the *initial* trajectory (the reference
+    computes y_pred once from initial values and constrains x_t to it,
+    acinoset_misc.py:310-328).
+
+    Args:
+      x_init: (N, 28) relative pose of the initialisation.
+    Returns:
+      (y_pred (N, 28), valid (N,)): y_pred[t] defined for t >= window buffer.
+    """
+    w, s = model.window_size, model.window_time
+    X, _ = ds.series_to_supervised(x_init, w, s)
+    N = x_init.shape[0]
+    buf = w * s
+    y_pred = np.zeros((N, x_init.shape[1]))
+    valid = np.zeros(N)
+    if X.shape[0] > 0:
+        y_pred[buf:] = model.predict(X)
+        valid[buf:] = 1.0
+    return y_pred, valid

@@ -1,0 +1,147 @@
+"""Learned priors: parity with sklearn and the reference's shipped models."""
+import os
+
+import numpy as np
+import pytest
+
+from cheetah_pose_estimation_tpu.priors import armodel, dataset as ds, gmm, pca
+
+DATA = "/root/reference/models/data-driven/dataset_full_pose.csv"
+VAL = "/root/reference/models/data-driven/validation_dataset.csv"
+LR_ORACLE = ("/root/reference/models/data-driven/"
+             "lr_model_a5913540345c59a4814e1c01efd9423a")  # w=10, lasso 1e-2
+
+needs_data = pytest.mark.skipif(not os.path.exists(DATA),
+                                reason="reference dataset missing")
+
+
+def test_series_to_supervised_shapes():
+    X = np.arange(20, dtype=float).reshape(10, 2)
+    feats, targ = ds.series_to_supervised(X, n_in=3, n_step=1)
+    assert feats.shape == (7, 6) and targ.shape == (7, 2)
+    # row 0: features = x[0], x[1], x[2]; target = x[3]
+    np.testing.assert_allclose(feats[0], [0, 1, 2, 3, 4, 5])
+    np.testing.assert_allclose(targ[0], [6, 7])
+    # step=2: features x[t-6], x[t-4], x[t-2]
+    f2, t2 = ds.series_to_supervised(X, n_in=3, n_step=2)
+    assert f2.shape == (4, 6)
+    np.testing.assert_allclose(f2[0], [0, 1, 4, 5, 8, 9])
+    np.testing.assert_allclose(t2[0], [12, 13])
+
+
+@needs_data
+def test_linear_regression_matches_sklearn():
+    from sklearn.linear_model import LinearRegression
+    df = ds.load_pose_dataset(DATA)
+    data = df.iloc[:, :28].to_numpy()
+    X, y = ds.windowed_dataset(data, df.index.values, 4, 1)
+    coef, intercept = armodel.fit_linear(X, y)
+    skm = LinearRegression().fit(X, y)
+    np.testing.assert_allclose(coef, skm.coef_, rtol=0, atol=1e-7)
+    np.testing.assert_allclose(intercept, skm.intercept_, rtol=0, atol=1e-7)
+
+
+@needs_data
+def test_multitask_lasso_matches_sklearn():
+    from sklearn.linear_model import MultiTaskLasso
+    df = ds.load_pose_dataset(DATA)
+    data = df.iloc[:, :28].to_numpy()
+    X, y = ds.windowed_dataset(data, df.index.values, 4, 1)
+    coef, intercept = armodel.fit_multitask_lasso(X, y, alpha=1e-2,
+                                                  iters=6000)
+    skm = MultiTaskLasso(alpha=1e-2, random_state=42, max_iter=20000).fit(X, y)
+    # objective values should agree tightly even if coefficients wander
+    # within the (nearly) flat optimum
+    def obj(W, b):
+        r = y - X @ W.T - b[None]
+        n = X.shape[0]
+        return (0.5 / n) * np.sum(r**2) + 1e-2 * np.sum(
+            np.linalg.norm(W, axis=0))
+    ours, theirs = obj(coef, intercept), obj(skm.coef_, skm.intercept_)
+    assert ours <= theirs * 1.0005, (ours, theirs)
+    # optimum is nearly flat in coefficient space (correlated lags), so
+    # compare fitted values, not raw coefficients
+    pred_rms = np.sqrt(np.mean(
+        (X @ coef.T + intercept - X @ skm.coef_.T - skm.intercept_)**2))
+    assert pred_rms < 1e-2, pred_rms
+
+
+@needs_data
+def test_motion_model_against_shipped_reference_blob():
+    if not os.path.exists(LR_ORACLE):
+        pytest.skip("oracle blob missing")
+    import warnings
+    import dill
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        with open(LR_ORACLE, "rb") as f:
+            ref = dill.load(f)
+    model = armodel.train_motion_model(DATA, window_size=10, lasso=True,
+                                       validation_fname=VAL)
+    assert model.coef.shape == ref.coef_.shape
+    # predictions on the training windows should closely agree
+    df = ds.load_pose_dataset(DATA)
+    X, _ = ds.windowed_dataset(df.iloc[:, :28].to_numpy(), df.index.values,
+                               10, 1)
+    ours = model.predict(X)
+    theirs = X @ ref.coef_.T + ref.intercept_[None]
+    rms = np.sqrt(np.mean((ours - theirs)**2))
+    assert rms < 5e-3, rms
+
+
+@needs_data
+def test_pca_matches_sklearn():
+    from sklearn.decomposition import PCA as SKPCA
+    model = pca.fit(DATA, n_comps=5)
+    df = ds.load_pose_dataset(DATA)
+    X = df.iloc[:, 6:28].to_numpy()
+    sp = SKPCA(n_components=5).fit(X)
+    # sign conventions differ across sklearn versions (the reference copied
+    # an older svd_flip); compare up to per-component sign
+    signs = np.sign(np.sum(model.P * sp.components_, axis=1))
+    np.testing.assert_allclose(model.P, signs[:, None] * sp.components_,
+                               rtol=0, atol=1e-8)
+    Z = model.project(X, full_state=False)
+    np.testing.assert_allclose(Z, sp.transform(X) * signs[None, :], rtol=0,
+                               atol=1e-8)
+    back = model.project(Z, full_state=False, inverse=True)
+    np.testing.assert_allclose(back, sp.inverse_transform(Z * signs[None, :]),
+                               rtol=0, atol=1e-8)
+
+
+@needs_data
+def test_gmm_quality_vs_sklearn():
+    from sklearn.mixture import GaussianMixture
+    df = ds.load_pose_dataset(DATA)
+    X = df.iloc[:, 6:28].to_numpy()
+    dfv = ds.load_pose_dataset(VAL)
+    Xv = dfv.iloc[:, 6:28].to_numpy()
+    ours = gmm.fit(X, n_components=5, seed=42)
+    sk = GaussianMixture(n_components=5, random_state=42,
+                         max_iter=20000).fit(X)
+    ll_ours = gmm.score(ours, X)
+    ll_sk = sk.score(X)
+    # EM is init-dependent; require near-sklearn quality on train and val
+    assert ll_ours > ll_sk - 0.5, (ll_ours, ll_sk)
+    assert gmm.score(ours, Xv) > sk.score(Xv) - 2.0
+
+
+@needs_data
+def test_gmm_solver_export_consistent():
+    import jax.numpy as jnp
+    from cheetah_pose_estimation_tpu.models import params as P
+    from cheetah_pose_estimation_tpu.solver import kinematic as kin
+    df = ds.load_pose_dataset(DATA)
+    X = df.iloc[:, 6:28].to_numpy()
+    params = gmm.fit(X, n_components=3, seed=0)
+    prior = gmm.to_solver_prior(params)
+    fte = kin.KinematicFTE(kin.KinematicConfig(use_gmm=True),
+                           P.get_subject("acinoset"))
+    neglog = np.asarray(fte._gmm_neglog(jnp.asarray(X[:50]), prior))
+    # compare against direct density computation
+    from scipy.stats import multivariate_normal
+    ref = np.zeros(50)
+    for w, mu, cov in zip(np.asarray(params.weights), np.asarray(params.means),
+                          np.asarray(params.covs)):
+        ref += w * multivariate_normal.pdf(X[:50], mu, cov)
+    np.testing.assert_allclose(neglog, -np.log(ref + 1e-12), rtol=1e-6)
