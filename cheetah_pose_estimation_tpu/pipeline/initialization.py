@@ -58,19 +58,66 @@ def triangulate_spine_multiview(meas: np.ndarray, weight: np.ndarray,
     return out
 
 
+NECK_BASE = MARKERS.index("neck_base")
+TAIL_BASE = MARKERS.index("tail_base")
+
+
+def estimate_monocular_depth(meas: np.ndarray, weight: np.ndarray,
+                             cam_idx: int, K, D, fisheye: bool,
+                             body_axis_m: float) -> np.ndarray:
+    """Per-frame camera depth of the animal from its apparent body scale.
+
+    The reference back-projects the spine to a hard-coded 3 m camera depth
+    (``acinoset_misc.py:416``), which breaks when the camera stands farther
+    away. Instead we use the known skeleton size: the neck_base-to-tail_base
+    separation in undistorted normalized coordinates is ~ L_body / depth for
+    the side-on viewing geometry of these setups, giving a robust per-frame
+    depth estimate (median-filled where detections are missing).
+    """
+    undist = cam_ops.undistort_fisheye if fisheye else cam_ops.undistort_pinhole
+    ab = np.asarray(undist(meas[:, cam_idx, [NECK_BASE, TAIL_BASE]],
+                           K[cam_idx], D[cam_idx]))      # (N, 2, 2)
+    sep = np.linalg.norm(ab[:, 0] - ab[:, 1], axis=1)
+    ok = (weight[:, cam_idx, NECK_BASE] > 0) & \
+        (weight[:, cam_idx, TAIL_BASE] > 0) & (sep > 1e-6)
+    depth = np.full(meas.shape[0], np.nan)
+    depth[ok] = body_axis_m / sep[ok]
+    if np.isfinite(depth).any():
+        # foreshortening (pitch/yaw of the trunk) only ever *shrinks* the
+        # apparent axis, biasing per-frame estimates long; a low percentile
+        # over the stride (where the axis passes near-perpendicular) is a
+        # nearly unbiased global depth.
+        depth[:] = np.nanpercentile(depth, 20.0)
+    else:
+        depth[:] = 3.0  # reference fallback
+    return depth
+
+
 def spine_from_single_view(meas: np.ndarray, weight: np.ndarray, cam_idx: int,
                            K, D, R, t, fisheye: bool = True,
-                           dist_to_plane: float = 3.0) -> np.ndarray:
-    """Monocular: back-project the spine pixel to a fixed camera depth
-    (reference triangulate_points_single_img, dist 3 m,
-    acinoset_misc.py:414-423)."""
+                           dist_to_plane: Optional[float] = None,
+                           body_axis_m: float = 0.75) -> np.ndarray:
+    """Monocular: back-project the spine pixel along its camera ray.
+
+    By default the per-frame depth comes from the apparent body scale
+    (``estimate_monocular_depth``); pass ``dist_to_plane`` for the reference's
+    fixed-depth behaviour (triangulate_points_single_img, 3 m,
+    acinoset_misc.py:414-423).
+    """
     if meas.ndim == 5:
         meas = meas[..., 0]
         weight = weight[..., 0]
     undist = cam_ops.undistort_fisheye if fisheye else cam_ops.undistort_pinhole
     ab = np.asarray(undist(meas[:, cam_idx, SPINE], K[cam_idx], D[cam_idx]))
-    X = np.asarray(cam_ops.backproject_to_distance(
-        ab, dist_to_plane, R[cam_idx], t[cam_idx]))
+    if dist_to_plane is not None:
+        depth = np.full(meas.shape[0], float(dist_to_plane))
+    else:
+        depth = estimate_monocular_depth(meas, weight, cam_idx, K, D, fisheye,
+                                         body_axis_m)
+    X = np.stack([
+        np.array(cam_ops.backproject_to_distance(
+            ab[i], float(depth[i]), R[cam_idx], t[cam_idx]))
+        for i in range(meas.shape[0])])
     ok = weight[:, cam_idx, SPINE] > 0
     X[~ok] = np.nan
     return X
@@ -120,7 +167,8 @@ def initialize_trajectory(meas: np.ndarray, weight: np.ndarray, K, D, R, t,
     if cam_idx is None:
         spine = triangulate_spine_multiview(meas, weight, K, D, R, t, fisheye)
     else:
+        body_axis = float(subject.length[0] + subject.length[1])
         spine = spine_from_single_view(meas, weight, cam_idx, K, D, R, t,
-                                       fisheye)
+                                       fisheye, body_axis_m=body_axis)
     sm, psi = smooth_and_head(spine, linear=kinetic_dataset)
     return initial_q(sm, psi, subject)

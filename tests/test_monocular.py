@@ -1,0 +1,122 @@
+"""Monocular reconstruction: default vs data-driven (GMM + AR priors).
+
+Mirrors the reference's monocular evaluation protocol (run_dataset.py
+run_monocular): the multi-view solution is ground truth; monocular modes are
+scored by MPE/MPJPE against it. Reference baselines on real data: default
+264/118 mm, data-driven 157/79 mm (BASELINE.md) — synthetic bounds here are
+set generously around those magnitudes.
+"""
+import os
+import pickle
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cheetah_pose_estimation_tpu.data import synthetic as syn
+from cheetah_pose_estimation_tpu.models import noise as noise_tables
+from cheetah_pose_estimation_tpu.models import params as P
+from cheetah_pose_estimation_tpu.models import skeleton as sk
+from cheetah_pose_estimation_tpu.pipeline import initialization as init
+from cheetah_pose_estimation_tpu.priors import armodel, dataset as ds, gmm
+from cheetah_pose_estimation_tpu.solver import kinematic as kin
+
+REF_PICKLE = ("/root/reference/data/test_set/2019_03_07/phantom/run/"
+              "fte_kinematic/fte.pickle")
+DATA = "/root/reference/models/data-driven/dataset_full_pose.csv"
+VAL = "/root/reference/models/data-driven/validation_dataset.csv"
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.exists(REF_PICKLE) and os.path.exists(DATA)),
+    reason="reference artifacts missing")
+
+CAM_IDX = 2
+
+
+def _setup():
+    with open(REF_PICKLE, "rb") as f:
+        q_gt = pickle.load(f)["q"]
+    subject = P.get_subject("phantom")
+    markers = np.asarray(sk.fk_markers(q_gt, subject))
+    scene = syn.ring_cameras(markers.mean(axis=(0, 1)), n_cams=6, seed=3)
+    trial = syn.synthesize(q_gt, subject, scene, noise_px=1.5,
+                           outlier_frac=0.02, seed=3)
+    return trial, subject
+
+
+def _mono_data(trial, use_priors, q0=None):
+    N = trial.q_gt.shape[0]
+    w = syn.gated_weights(trial)[:, CAM_IDX:CAM_IDX + 1]
+    meas = trial.meas[:, CAM_IDX:CAM_IDX + 1]
+    cam = kin.CameraSet(jnp.asarray(trial.scene.K[CAM_IDX:CAM_IDX + 1]),
+                        jnp.asarray(trial.scene.D[CAM_IDX:CAM_IDX + 1]),
+                        jnp.asarray(trial.scene.R[CAM_IDX:CAM_IDX + 1]),
+                        jnp.asarray(trial.scene.t[CAM_IDX:CAM_IDX + 1]))
+    if use_priors:
+        df = ds.load_pose_dataset(DATA)
+        gp = gmm.to_solver_prior(gmm.fit(df.iloc[:, 6:28].to_numpy(),
+                                         n_components=5, seed=42))
+        mm = armodel.train_motion_model(DATA, window_size=4, lasso=True,
+                                        validation_fname=VAL)
+        x_init = np.asarray(sk.relative_pose(np.asarray(q0)))
+        y_pred, valid = armodel.anchor_predictions(mm, x_init)
+        ar = kin.ARAnchor(jnp.asarray(y_pred),
+                          jnp.asarray(armodel.motion_weights(mm)),
+                          jnp.asarray(valid))
+    else:
+        gp = kin.GMMPrior(jnp.zeros((1, 22)), jnp.eye(22)[None],
+                          jnp.zeros((1,)))
+        ar = kin.ARAnchor(jnp.zeros((N, 28)), jnp.zeros(28), jnp.zeros(N))
+    return kin.KinematicData(
+        meas=jnp.asarray(meas), weight=jnp.asarray(w), cam=cam,
+        h=jnp.asarray(1.0 / trial.scene.fps),
+        acc_weight=jnp.asarray(noise_tables.acc_model_weights()),
+        frame_valid=jnp.ones(N), gmm=gp, ar=ar)
+
+
+def _mono_init(trial, subject):
+    return init.initialize_trajectory(
+        trial.meas, syn.gated_weights(trial), trial.scene.K, trial.scene.D,
+        trial.scene.R, trial.scene.t, subject, fisheye=True, cam_idx=CAM_IDX)
+
+
+def _errors(q_est, trial, subject):
+    rec = np.asarray(sk.fk_markers(np.asarray(q_est), subject))
+    d = np.linalg.norm(rec - trial.markers_gt, axis=2)
+    mpe = d.mean() * 1000
+    recc = rec - rec.mean(axis=1, keepdims=True)
+    gtc = trial.markers_gt - trial.markers_gt.mean(axis=1, keepdims=True)
+    mpjpe = np.mean(np.linalg.norm(recc - gtc, axis=2)) * 1000
+    return mpe, mpjpe
+
+
+def test_monocular_default_and_data_driven():
+    trial, subject = _setup()
+    q0 = jnp.asarray(_mono_init(trial, subject))
+
+    # default mode
+    data_d = _mono_data(trial, use_priors=False)
+    fte_d = kin.KinematicFTE(kin.KinematicConfig(), subject)
+    st_d = fte_d.make_solver()(q0, data_d)
+    mpe_d, mpjpe_d = _errors(st_d.q, trial, subject)
+
+    # data-driven mode
+    data_m = _mono_data(trial, use_priors=True, q0=q0)
+    fte_m = kin.KinematicFTE(kin.KinematicConfig(use_gmm=True, use_ar=True),
+                             subject)
+    st_m = fte_m.make_solver()(q0, data_m)
+    mpe_m, mpjpe_m = _errors(st_m.q, trial, subject)
+
+    print(f"default: MPE {mpe_d:.1f} MPJPE {mpjpe_d:.1f}; "
+          f"data-driven: MPE {mpe_m:.1f} MPJPE {mpjpe_m:.1f}")
+    # Magnitudes in line with the reference's real-data baselines (default
+    # 264/118, data-driven 157/79 — but note those are scored against the
+    # reference's own multi-view solve, while these are scored against true
+    # synthetic GT, a strictly harder criterion). The synthetic corruption is
+    # milder than real DLC output, so the priors' role here is regression
+    # protection: they must not degrade the solution.
+    assert mpe_d < 400.0, mpe_d
+    assert mpjpe_d < 250.0, mpjpe_d
+    assert mpe_m < 400.0, mpe_m
+    assert mpjpe_m < 250.0, mpjpe_m
+    assert mpjpe_m <= mpjpe_d * 1.05
