@@ -79,6 +79,15 @@ class KinematicConfig:
     limit_penalty: float = 1e5
     curvature_floor: float = 1e-3
     cam_multipliers: Tuple[float, ...] = ()  # kinetic: (1,1,.6,.6)
+    # absolute Tikhonov floor on the normal matrix diagonal. The skeleton has
+    # exactly one unobservable DOF per leg/tail segment (rotation about the
+    # cylinder axis: markers sit on the axis, and the reference gives those
+    # dims zero motion-model weight, acinoset_misc.py:1865-1906). Without an
+    # absolute floor those dims take unbounded steps and make the optimizer
+    # path chaotic; 1e-2 is negligible against observable curvatures (1e1-1e7)
+    # but pins free dims in place. IPOPT plays the same trick via its
+    # inertia-correction delta_w.
+    tikhonov: float = 1e-2
 
 
 # ---------------------------------------------------------------------------
@@ -384,7 +393,8 @@ class KinematicFTE:
 
         # padded frames: identity anchor to keep H nonsingular
         pad = (1.0 - data.frame_valid)[:, None, None]
-        Hdiag = Hdiag + pad * jnp.eye(NQ, dtype=dtype)[None]
+        Hdiag = Hdiag + (pad + self.config.tikhonov) * \
+            jnp.eye(NQ, dtype=dtype)[None]
 
         H = banded.BlockBanded(diag=Hdiag, lower=H_acc.lower)
         return g, H
