@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark: batched full-trial monocular kinematic reconstruction.
+
+Baseline (BASELINE.md): the reference solves one monocular default-mode trial
+in 20.9 s on CPU (IPOPT + MA97, mean over the 10-trial AcinoSet test set).
+Here all 10 trials are padded, stacked, and solved as ONE vmapped batch on the
+accelerator (float32, graduated-non-convexity LM over the block-banded normal
+equations). Prints a single JSON line:
+
+  {"metric": ..., "value": trials/min, "unit": "trials/min", "vs_baseline": x}
+
+vs_baseline is the throughput ratio against the reference's 60/20.9 = 2.87
+trials/min.
+"""
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_S_PER_TRIAL = 20.9
+
+
+def main():
+    from cheetah_pose_estimation_tpu.pipeline import bench_lib
+    from cheetah_pose_estimation_tpu.solver import kinematic as kin
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev.platform} {getattr(dev, 'device_kind', '')}",
+          file=sys.stderr)
+
+    batched, q0b, trials, subject = bench_lib.build_batch(
+        n_frames=64, dtype=jnp.float32)
+    B = q0b.shape[0]
+    fte = kin.KinematicFTE(kin.KinematicConfig(), subject)
+    run = fte.make_solver()
+    vrun = jax.jit(jax.vmap(run))
+
+    # compile
+    t0 = time.time()
+    st = vrun(q0b, batched)
+    st.q.block_until_ready()
+    compile_s = time.time() - t0
+
+    # timed runs
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        st = vrun(q0b, batched)
+        st.q.block_until_ready()
+    dt = (time.time() - t0) / reps
+
+    s_per_trial = dt / B
+    trials_per_min = 60.0 / s_per_trial
+    vs_baseline = BASELINE_S_PER_TRIAL / s_per_trial
+
+    # quality sanity: MPE vs the source ground truth (stderr only)
+    from cheetah_pose_estimation_tpu.models import skeleton as sk
+    errs = []
+    for i, tr in enumerate(trials):
+        n = tr.q_gt.shape[0]
+        rec = np.asarray(sk.fk_markers(np.asarray(st.q[i][:n], np.float64),
+                                       subject))
+        errs.append(np.mean(np.linalg.norm(rec - tr.markers_gt, axis=2)) * 1e3)
+    print(f"# batch={B} N=64 compile={compile_s:.1f}s run={dt*1e3:.1f}ms "
+          f"({s_per_trial*1e3:.1f} ms/trial) mean-MPE={np.mean(errs):.0f}mm "
+          f"costs_finite={bool(np.all(np.isfinite(np.asarray(st.cost))))}",
+          file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "monocular_default_full_trial_reconstruction",
+        "value": round(trials_per_min, 2),
+        "unit": "trials/min",
+        "vs_baseline": round(vs_baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,259 @@
+"""AcinoSet interchange IO: scene calibration, metadata, DLC tables,
+fte.pickle and per-camera 2D reprojection outputs.
+
+Formats preserved byte/schema-compatible with the reference so downstream
+comparison and video rendering tooling is unchanged (SURVEY.md §2.12):
+
+* ``extrinsic_calib/N_cam_scene_sba.json`` — camera intrinsics/distortion/
+  extrinsics (reference ``load_scene``/``find_scene_file``,
+  acinoset_misc.py:1496-1542);
+* ``metadata.json`` — start/end frame, cam_sync offsets, ground plane height,
+  monocular cam (acinoset_opt.py:464-472);
+* DLC prediction tables ``dlc/cam*.h5`` (+ .csv) with the MultiIndex
+  (scorer, bodyparts, {x, y, likelihood}) layout;
+* ``fte.pickle`` with keys positions/x/dx/ddx/q/dq/ddq/com_pos/com_vel/tau/
+  meas_err/obj_cost/processing_time_s/start_frame (acinoset_opt.py:330-361);
+* ``cam<i>_fte.h5/.csv`` reprojections in DLC format
+  (acinoset_misc.py:1346-1407).
+
+pandas HDF reading requires pytables; where it is unavailable the readers
+fall back to the sibling .csv files, and our writers always emit both.
+"""
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from glob import glob
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+from ..models.skeleton import MARKERS
+
+
+# ---------------------------------------------------------------------------
+# scene calibration
+# ---------------------------------------------------------------------------
+
+def load_scene(fpath: str):
+    """(k_arr, d_arr, r_arr, t_arr, cam_res) from a scene json."""
+    with open(fpath, "r", encoding="utf-8") as f:
+        data = json.load(f)
+    cam_res = tuple(data["camera_resolution"])
+    k_arr = np.array([c["k"] for c in data["cameras"]], dtype=np.float64)
+    d_arr = np.array([c["d"] for c in data["cameras"]], dtype=np.float64)
+    r_arr = np.array([c["r"] for c in data["cameras"]], dtype=np.float64)
+    t_arr = np.array([c["t"] for c in data["cameras"]], dtype=np.float64)
+    return k_arr, d_arr, r_arr, t_arr, cam_res
+
+
+def save_scene(fpath: str, k_arr, d_arr, r_arr, t_arr,
+               cam_res: Tuple[int, int]):
+    cams = []
+    for k, d, r, t in zip(k_arr, d_arr, r_arr, t_arr):
+        cams.append({
+            "k": np.asarray(k).tolist(),
+            "d": np.asarray(d).reshape(-1, 1).tolist(),
+            "r": np.asarray(r).tolist(),
+            "t": np.asarray(t).reshape(-1, 1).tolist(),
+        })
+    os.makedirs(os.path.dirname(fpath), exist_ok=True)
+    with open(fpath, "w", encoding="utf-8") as f:
+        json.dump({"camera_resolution": list(cam_res), "cameras": cams}, f)
+
+
+def find_scene_file(dir_path: str, scene_fname: Optional[str] = None,
+                    verbose: bool = False):
+    """Walk up from dir_path looking for extrinsic_calib/N_cam_scene_sba.json
+    (reference acinoset_misc.py:1518-1542)."""
+    if scene_fname is None:
+        n_cams = len(glob(os.path.join(dir_path, "cam[1-9].mp4")))
+        scene_fname = (f"{n_cams}_cam_scene_sba.json" if n_cams
+                       else "[1-9]_cam_scene*.json")
+    path = dir_path
+    while path and path != os.path.sep:
+        pattern = os.path.join(path, "extrinsic_calib", scene_fname)
+        candidates = sorted(
+            p for p in glob(pattern)
+            if "before_corrections" not in p or p == pattern)
+        if candidates:
+            fpath = candidates[-1]
+            k, d, r, t, res = load_scene(fpath)
+            n_cams = int(os.path.basename(fpath)[0])
+            return k, d, r, t, res, n_cams, fpath
+        parent = os.path.dirname(path)
+        if parent == path:
+            break
+        path = parent
+    raise FileNotFoundError(
+        os.path.join("extrinsic_calib", str(scene_fname)))
+
+
+# ---------------------------------------------------------------------------
+# metadata
+# ---------------------------------------------------------------------------
+
+def load_metadata(data_dir: str) -> Dict:
+    with open(os.path.join(data_dir, "metadata.json"), "r",
+              encoding="utf-8") as f:
+        return json.load(f)
+
+
+def save_metadata(data_dir: str, start_frame: int, end_frame: int,
+                  cam_sync: Optional[List[Dict]] = None,
+                  ground_plane_height: float = 0.0,
+                  monocular_cam: int = 0, **extra):
+    os.makedirs(data_dir, exist_ok=True)
+    meta = dict(start_frame=int(start_frame), end_frame=int(end_frame),
+                cam_sync=cam_sync or [],
+                ground_plane_height=float(ground_plane_height),
+                monocular_cam=int(monocular_cam), **extra)
+    with open(os.path.join(data_dir, "metadata.json"), "w",
+              encoding="utf-8") as f:
+        json.dump(meta, f)
+
+
+# ---------------------------------------------------------------------------
+# DLC prediction tables
+# ---------------------------------------------------------------------------
+
+DLC_SCORER = "cheetah_tpu"
+
+
+def save_dlc_table(fpath: str, xy: np.ndarray, likelihood: np.ndarray,
+                   bodyparts: Sequence[str] = MARKERS,
+                   scorer: str = DLC_SCORER, start_frame: int = 0):
+    """Write a DLC-style prediction table (n_frames, L, 2) + (n_frames, L).
+
+    Emits .h5 (if pytables is available) and always a .csv sibling.
+    """
+    n, L = xy.shape[0], xy.shape[1]
+    cols = pd.MultiIndex.from_product(
+        [[scorer], list(bodyparts), ["x", "y", "likelihood"]],
+        names=["scorer", "bodyparts", "coords"])
+    data = np.concatenate([xy, likelihood[..., None]], axis=2)
+    df = pd.DataFrame(data.reshape(n, -1), columns=cols,
+                      index=range(start_frame, start_frame + n))
+    os.makedirs(os.path.dirname(fpath), exist_ok=True)
+    base = os.path.splitext(fpath)[0]
+    df.to_csv(base + ".csv")
+    try:
+        df.to_hdf(base + ".h5", key="df_with_missing", mode="w")
+    except ImportError:
+        pass
+
+
+def load_dlc_table(fpath: str) -> pd.DataFrame:
+    """Load a DLC table (.h5 with pytables, else the .csv sibling)."""
+    base, ext = os.path.splitext(fpath)
+    if ext == ".h5":
+        try:
+            return pd.read_hdf(fpath)
+        except ImportError:
+            fpath = base + ".csv"
+    return pd.read_csv(fpath, header=[0, 1, 2], index_col=0)
+
+
+def load_dlc_points(dlc_dir: str, n_cams: Optional[int] = None):
+    """All per-camera DLC tables of a trial as arrays.
+
+    Returns (xy (n_frames, C, L, 2), likelihood (n_frames, C, L), bodyparts).
+    Table rows are aligned on the frame index (missing frames NaN / lik 0).
+    """
+    paths = sorted(glob(os.path.join(dlc_dir, "*.h5")))
+    if not paths:
+        paths = sorted(glob(os.path.join(dlc_dir, "*.csv")))
+    if n_cams is not None:
+        assert len(paths) == n_cams, (len(paths), n_cams)
+    dfs = [load_dlc_table(p) for p in paths]
+    bodyparts = list(dict.fromkeys(
+        dfs[0].columns.get_level_values("bodyparts")))
+    n_frames = max(int(df.index.max()) for df in dfs) + 1
+    C, L = len(dfs), len(bodyparts)
+    xy = np.full((n_frames, C, L, 2), np.nan)
+    lik = np.zeros((n_frames, C, L))
+    for c, df in enumerate(dfs):
+        scorer = df.columns.get_level_values(0)[0]
+        idx = df.index.to_numpy().astype(int)
+        for l, bp in enumerate(bodyparts):
+            xy[idx, c, l, 0] = df[(scorer, bp, "x")].to_numpy()
+            xy[idx, c, l, 1] = df[(scorer, bp, "y")].to_numpy()
+            lik[idx, c, l] = df[(scorer, bp, "likelihood")].to_numpy()
+    return xy, lik, bodyparts
+
+
+# ---------------------------------------------------------------------------
+# fte.pickle + reprojections
+# ---------------------------------------------------------------------------
+
+def save_fte_pickle(out_fpath: str, positions: np.ndarray, *, x, dx, ddx, q,
+                    dq, ddq, com_pos, com_vel, tau: Dict, meas_err,
+                    obj_cost: float, processing_time_s: float,
+                    start_frame: int):
+    """Write the reference's fte.pickle schema verbatim
+    (acinoset_opt.py:330-361, acinoset_misc.py:1410-1419)."""
+    payload = dict(
+        positions=np.asarray(positions), x=np.asarray(x), dx=np.asarray(dx),
+        ddx=np.asarray(ddx), q=np.asarray(q), dq=np.asarray(dq),
+        ddq=np.asarray(ddq), com_pos=np.asarray(com_pos),
+        com_vel=np.asarray(com_vel), tau=tau,
+        meas_err=np.asarray(meas_err), obj_cost=obj_cost,
+        processing_time_s=processing_time_s, start_frame=int(start_frame))
+    os.makedirs(os.path.dirname(out_fpath), exist_ok=True)
+    with open(out_fpath, "wb") as f:
+        pickle.dump(payload, f)
+
+
+def load_fte_pickle(fpath: str) -> Dict:
+    with open(fpath, "rb") as f:
+        return pickle.load(f)
+
+
+def save_3d_cheetah_as_2d(positions_3d_arr: Sequence[np.ndarray],
+                          out_dir: str, k_arr, d_arr, r_arr, t_arr,
+                          cam_res, project_func, start_frame: int,
+                          sync_offset_arr: Optional[List[int]] = None,
+                          bodyparts: Sequence[str] = MARKERS,
+                          out_fname: str = "fte",
+                          save_as_csv: bool = True):
+    """Per-camera 2D reprojection tables ``cam<i>_<out_fname>.h5/.csv`` in DLC
+    format, out-of-frame points NaN (reference acinoset_misc.py:1346-1407)."""
+    os.makedirs(out_dir, exist_ok=True)
+    n_cams = len(k_arr)
+    sync = sync_offset_arr or [0] * n_cams
+    xyz_labels = ["x", "y", "likelihood"]
+    pdindex = pd.MultiIndex.from_product([list(bodyparts), xyz_labels],
+                                         names=["bodyparts", "coords"])
+    for i in range(n_cams):
+        pos3d = np.asarray(positions_3d_arr[i])
+        n_frames = len(pos3d)
+        proj = np.asarray(project_func(
+            pos3d.reshape(-1, 3), k_arr[i], d_arr[i], r_arr[i],
+            t_arr[i])).reshape(n_frames, -1, 2)
+        oob = ((proj > np.asarray(cam_res)[None, None, :])
+               | (proj < 0)).any(axis=2)
+        proj = np.where(oob[..., None], np.nan, proj)
+        data = np.full((n_frames, len(bodyparts), 3), np.nan)
+        data[:, :, :2] = proj
+        df = pd.DataFrame(data.reshape(n_frames, -1), columns=pdindex,
+                          index=range(start_frame - sync[i],
+                                      start_frame + n_frames - sync[i]))
+        fpath = os.path.join(out_dir, f"cam{i + 1}_{out_fname}.h5")
+        if save_as_csv:
+            df.to_csv(os.path.splitext(fpath)[0] + ".csv")
+        try:
+            df.to_hdf(fpath, key=f"{out_fname}_df", format="table", mode="w")
+        except ImportError:
+            pass
+
+
+def load_reprojection_table(fpath: str) -> pd.DataFrame:
+    base, ext = os.path.splitext(fpath)
+    if ext == ".h5":
+        try:
+            return pd.read_hdf(fpath)
+        except ImportError:
+            fpath = base + ".csv"
+    return pd.read_csv(fpath, header=[0, 1], index_col=0)

@@ -1,0 +1,116 @@
+"""Batching ragged trials for vmapped / mesh-sharded solves.
+
+The reference processes trials in a serial Python loop with a fresh Pyomo
+model and IPOPT invocation per (trial, mode, camera) combination
+(``run_dataset.py:1143-1231``). Here whole trials are padded to a common
+frame count and camera count, stacked into one ``KinematicData`` pytree with
+a leading batch axis, and solved together: ``vmap`` within a chip, sharding
+over a ``jax.sharding.Mesh`` across chips (pure data parallelism — the ICI
+never sees intra-trial traffic because each trial's banded system lives on
+one device).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..solver.kinematic import ARAnchor, CameraSet, GMMPrior, KinematicData
+
+TRIAL_AXIS = "trials"
+
+
+def _pad_to(x: np.ndarray, n: int, axis: int = 0) -> np.ndarray:
+    pad = n - x.shape[axis]
+    if pad <= 0:
+        return x
+    width = [(0, 0)] * x.ndim
+    width[axis] = (0, pad)
+    return np.pad(x, width)
+
+
+def pad_and_stack(datas: Sequence[KinematicData],
+                  q0s: Sequence[np.ndarray],
+                  n_frames: Optional[int] = None,
+                  n_cams: Optional[int] = None,
+                  dtype=None) -> Tuple[KinematicData, jnp.ndarray]:
+    """Stack per-trial problems into one batched pytree.
+
+    Frames are padded with ``frame_valid = 0`` (measurement weights zeroed,
+    acc-stencil residuals masked, identity diagonal anchor); cameras are
+    padded with zero weights. q0 padding replicates the last valid frame so
+    padded states stay near the trajectory (they are unconstrained but
+    anchored by the identity diagonal).
+    """
+    N = n_frames or max(d.meas.shape[0] for d in datas)
+    C = n_cams or max(d.meas.shape[1] for d in datas)
+    W = datas[0].meas.shape[-1]
+    L = datas[0].meas.shape[2]
+
+    def prep(d: KinematicData, q0: np.ndarray):
+        n, c = d.meas.shape[0], d.meas.shape[1]
+        meas = _pad_to(_pad_to(np.asarray(d.meas), N, 0), C, 1)
+        weight = _pad_to(_pad_to(np.asarray(d.weight), N, 0), C, 1)
+        fv = _pad_to(np.asarray(d.frame_valid), N, 0)
+        cam = CameraSet(
+            _pad_to(np.asarray(d.cam.K), C, 0) + np.concatenate(
+                [np.zeros((c, 3, 3)),
+                 np.broadcast_to(np.eye(3), (C - c, 3, 3))]) if c < C
+            else np.asarray(d.cam.K),
+            _pad_to(np.asarray(d.cam.D), C, 0),
+            _pad_to(np.asarray(d.cam.R), C, 0) + (np.concatenate(
+                [np.zeros((c, 3, 3)),
+                 np.broadcast_to(np.eye(3), (C - c, 3, 3))]) if c < C
+                else 0.0),
+            _pad_to(np.asarray(d.cam.t), C, 0) + (np.concatenate(
+                [np.zeros((c, 3)),
+                 np.tile(np.array([0.0, 0.0, 10.0]), (C - c, 1))]) if c < C
+                else 0.0),
+        )
+        ar = ARAnchor(_pad_to(np.asarray(d.ar.y_pred), N, 0),
+                      np.asarray(d.ar.weight),
+                      _pad_to(np.asarray(d.ar.valid), N, 0))
+        q0p = np.asarray(q0)
+        if q0p.shape[0] < N:
+            q0p = np.concatenate(
+                [q0p, np.tile(q0p[-1:], (N - q0p.shape[0], 1))])
+        return KinematicData(meas=meas, weight=weight, cam=cam,
+                             h=np.asarray(d.h), acc_weight=np.asarray(
+                                 d.acc_weight),
+                             frame_valid=fv, gmm=d.gmm, ar=ar), q0p
+
+    prepped = [prep(d, q) for d, q in zip(datas, q0s)]
+    dt = dtype or jnp.asarray(prepped[0][0].meas).dtype
+
+    def stack(*xs):
+        return jnp.asarray(np.stack([np.asarray(x) for x in xs]), dtype=dt)
+
+    batched = jax.tree.map(stack, *[p[0] for p in prepped])
+    q0b = jnp.asarray(np.stack([p[1] for p in prepped]), dtype=dt)
+    return batched, q0b
+
+
+def trial_mesh(n_devices: Optional[int] = None,
+               devices: Optional[List] = None) -> Mesh:
+    """1-D device mesh over the trial (data-parallel) axis."""
+    devs = devices if devices is not None else jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (TRIAL_AXIS,))
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a batched pytree with its leading axis split over the mesh."""
+    sharding = NamedSharding(mesh, P(TRIAL_AXIS))
+
+    def put(x):
+        x = jnp.asarray(x)
+        if x.ndim == 0:
+            return jax.device_put(x, NamedSharding(mesh, P()))
+        return jax.device_put(x, NamedSharding(mesh, P(
+            TRIAL_AXIS, *([None] * (x.ndim - 1)))))
+
+    return jax.tree.map(put, batch)

@@ -1,0 +1,130 @@
+"""Shared benchmark/problem-building helpers for bench.py and graft entry.
+
+Builds the batched monocular default-mode reconstruction problem over the 10
+AcinoSet test trials (ground-truth q trajectories from the reference's shipped
+fte.pickle artifacts, synthetic 6-camera scenes and DLC-like detections, since
+the raw inputs are not distributed with the reference)."""
+from __future__ import annotations
+
+import glob
+import os
+import pickle
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import synthetic as syn
+from ..models import noise as noise_tables
+from ..models import params as P
+from ..models import skeleton as sk
+from ..parallel import batch as pbatch
+from ..pipeline import initialization as init
+from ..solver import kinematic as kin
+
+REF_TEST_SET = "/root/reference/data/test_set"
+
+
+def _fps_for(path: str) -> float:
+    if "2019" in path:
+        return 120.0
+    if "2017" in path:
+        return 90.0
+    return 200.0
+
+
+def _subject_for(path: str) -> str:
+    for name in ("jules", "phantom", "shiraz", "arabia"):
+        if name in path:
+            return name
+    return "acinoset"
+
+
+def load_reference_trajectories(max_trials: Optional[int] = None,
+                                include_kinetic: bool = False):
+    """(q, subject_name, fps) tuples from shipped fte.pickle files; falls back
+    to procedural gallops when the reference tree is unavailable."""
+    out = []
+    pats = sorted(glob.glob(os.path.join(
+        REF_TEST_SET, "*", "**", "fte_kinematic", "fte.pickle"),
+        recursive=True))
+    for p in pats:
+        if not include_kinetic and "kinetic_dataset" in p:
+            continue
+        with open(p, "rb") as f:
+            q = pickle.load(f)["q"]
+        out.append((np.asarray(q), _subject_for(p), _fps_for(p)))
+    if not out:
+        for i in range(10):
+            out.append((syn.gallop_trajectory(40 + 2 * i, seed=i),
+                        "acinoset", 120.0))
+    if max_trials:
+        out = out[:max_trials]
+    return out
+
+
+def empty_priors(N: int):
+    gmmp = kin.GMMPrior(np.zeros((1, 22)), np.eye(22)[None], np.zeros((1,)))
+    ar = kin.ARAnchor(np.zeros((N, 28)), np.zeros(28), np.zeros(N))
+    return gmmp, ar
+
+
+def build_monocular_problem(q_gt: np.ndarray, subject_name: str, fps: float,
+                            cam_idx: int = 2, seed: int = 0,
+                            n_cams: int = 6,
+                            noise_px: float = 1.5) -> Tuple[kin.KinematicData,
+                                                            np.ndarray,
+                                                            syn.SyntheticTrial]:
+    subject = P.get_subject(subject_name)
+    markers = np.asarray(sk.fk_markers(q_gt, subject))
+    scene = syn.ring_cameras(markers.mean(axis=(0, 1)), n_cams=n_cams,
+                             fps=fps, seed=seed)
+    trial = syn.synthesize(q_gt, subject, scene, noise_px=noise_px,
+                           outlier_frac=0.02, seed=seed,
+                           subject_name=subject_name)
+    w = syn.gated_weights(trial)
+    q0 = init.initialize_trajectory(trial.meas, w, scene.K, scene.D, scene.R,
+                                    scene.t, subject, fisheye=True,
+                                    cam_idx=cam_idx)
+    N = q_gt.shape[0]
+    gmmp, ar = empty_priors(N)
+    data = kin.KinematicData(
+        meas=trial.meas[:, cam_idx:cam_idx + 1],
+        weight=w[:, cam_idx:cam_idx + 1],
+        cam=kin.CameraSet(scene.K[cam_idx:cam_idx + 1],
+                          scene.D[cam_idx:cam_idx + 1],
+                          scene.R[cam_idx:cam_idx + 1],
+                          scene.t[cam_idx:cam_idx + 1]),
+        h=np.asarray(1.0 / fps),
+        acc_weight=noise_tables.acc_model_weights(),
+        frame_valid=np.ones(N), gmm=gmmp, ar=ar)
+    return data, q0, trial
+
+
+def build_batch(max_trials: Optional[int] = None, n_frames: Optional[int] = None,
+                dtype=jnp.float32, repeat_to: Optional[int] = None):
+    """Batched monocular default problem over the test trials.
+
+    Returns (batched_data, q0_batch, trials, subject) — one shared subject
+    (the flagship generic 'acinoset' morphology is used for all so a single
+    compiled solver serves the batch; per-subject batching is a config away).
+    """
+    trajs = load_reference_trajectories(max_trials)
+    if repeat_to:
+        k = 0
+        while len(trajs) < repeat_to:
+            q, s, f = trajs[k % len(trajs)]
+            trajs.append((q, s, f))
+            k += 1
+    subject = P.get_subject("acinoset")
+    datas, q0s, trials = [], [], []
+    for i, (q_gt, name, fps) in enumerate(trajs):
+        # re-express every trajectory with the shared generic morphology so
+        # the batch shares one compiled FK; marker GT is re-rendered with it
+        d, q0, tr = build_monocular_problem(q_gt, "acinoset", fps, seed=i)
+        datas.append(d)
+        q0s.append(q0)
+        trials.append(tr)
+    batched, q0b = pbatch.pad_and_stack(datas, q0s, n_frames=n_frames,
+                                        dtype=dtype)
+    return batched, q0b, trials, subject

@@ -120,6 +120,56 @@ def lm_solve(cost_fn: Callable, normal_fn: Callable, q0: jnp.ndarray,
         cond, lambda s: _lm_step(s, cost_fn, normal_fn, config), state)
 
 
+def lm_solve_annealed(cost_fn: Callable, normal_fn: Callable,
+                      q0: jnp.ndarray,
+                      stages: Tuple[Tuple[float, int], ...],
+                      config: LMConfig = LMConfig()) -> LMState:
+    """Graduated-non-convexity LM in a single while_loop.
+
+    ``cost_fn(q, scale)`` / ``normal_fn(q, scale)`` take the annealing scale
+    as a traced argument, so only ONE loop body is compiled for all stages
+    (compile time matters: the body contains the full FK/projection Jacobian
+    assembly). At a stage boundary the reference cost is re-evaluated on the
+    new surface and the convergence flag cleared.
+    """
+    n_stages = len(stages)
+    scales = jnp.asarray([s for s, _ in stages], q0.dtype)
+    bounds = jnp.cumsum(jnp.asarray([it for _, it in stages]))
+    total = int(sum(it for _, it in stages))
+    last_stage_start = int(sum(it for _, it in stages[:-1]))
+
+    s0 = _init_state(lambda q: cost_fn(q, scales[0]), q0, config)
+    state = (s0, scales[0])
+
+    def cond(carry):
+        s, _ = carry
+        final_done = jnp.logical_and(s.done, s.it >= last_stage_start)
+        return jnp.logical_and(s.it < total, jnp.logical_not(final_done))
+
+    def body(carry):
+        s, prev_scale = carry
+        idx = jnp.minimum(jnp.searchsorted(bounds, s.it, side="right"),
+                          n_stages - 1)
+        scale = scales[idx]
+        changed = scale != prev_scale
+        cost = jnp.where(changed, cost_fn(s.q, scale), s.cost)
+        done = jnp.logical_and(s.done, jnp.logical_not(changed))
+        # fresh damping state on each annealing surface
+        lam = jnp.where(changed, jnp.asarray(config.lam0, s.lam.dtype), s.lam)
+        nu = jnp.where(changed, jnp.asarray(2.0, s.nu.dtype), s.nu)
+        s = s._replace(cost=cost, done=done, lam=lam, nu=nu)
+        ns = _lm_step(s, lambda q: cost_fn(q, scale),
+                      lambda q: normal_fn(q, scale), config)
+        # a stage that converged early fast-forwards to its boundary so the
+        # next iteration enters the next stage
+        ff = jnp.logical_and(ns.done, idx < n_stages - 1)
+        ns = ns._replace(it=jnp.where(ff, bounds[idx], ns.it))
+        return (ns, scale)
+
+    final, _ = jax.lax.while_loop(cond, body, state)
+    return final
+
+
 def lm_solve_scan(cost_fn: Callable, normal_fn: Callable, q0: jnp.ndarray,
                   config: LMConfig = LMConfig()) -> Tuple[LMState, jnp.ndarray]:
     """Fixed-iteration variant (scan): uniform work per step, best under vmap

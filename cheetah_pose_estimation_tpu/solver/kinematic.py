@@ -422,17 +422,11 @@ class KinematicFTE:
             stages_eff = stages
 
         def run(q0: jnp.ndarray, data: KinematicData) -> gn_mod.LMState:
-            state_q = q0
-            lam = lam0
-            final = None
-            for scale, iters in stages_eff:
-                cost_fn = lambda q, _s=scale: self._cost(q, data, _s)
-                normal_fn = lambda q, _s=scale: self._normal(q, data, _s)
-                final = gn_mod.lm_solve(
-                    cost_fn, normal_fn, state_q,
-                    gn_mod.LMConfig(max_iters=iters, ftol=ftol, lam0=lam))
-                state_q = final.q
-            return final
+            cost_fn = lambda q, s: self._cost(q, data, s)
+            normal_fn = lambda q, s: self._normal(q, data, s)
+            return gn_mod.lm_solve_annealed(
+                cost_fn, normal_fn, q0, stages_eff,
+                gn_mod.LMConfig(ftol=ftol, lam0=lam0))
 
         run_jit = jax.jit(run)
         self._solve_cache[key] = run_jit
