@@ -13,6 +13,7 @@ estimator consumes, with known 3D ground truth for MPJPE scoring.
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
@@ -156,6 +157,30 @@ def synthesize(q_gt: np.ndarray, subject: SubjectParams,
     return SyntheticTrial(q_gt=q_gt, markers_gt=markers,
                           meas=meas[..., None], likelihood=likelihood[..., None],
                           scene=scene, subject_name=subject_name)
+
+
+def write_trial_dir(trial: SyntheticTrial, root_dir: str, data_path: str,
+                    monocular_cam: int = 0) -> str:
+    """Materialize a synthetic trial as an AcinoSet-style directory tree:
+    dlc/cam*.h5|.csv, extrinsic_calib/N_cam_scene_sba.json, metadata.json —
+    the exact inputs the file-based pipeline (pipeline.estimator) consumes."""
+    from . import io as dio
+
+    data_dir = os.path.join(root_dir, data_path)
+    os.makedirs(data_dir, exist_ok=True)
+    N, C = trial.meas.shape[:2]
+    for c in range(C):
+        dio.save_dlc_table(
+            os.path.join(data_dir, "dlc", f"cam{c + 1}.h5"),
+            trial.meas[:, c, :, :, 0], trial.likelihood[:, c, :, 0])
+    dio.save_scene(
+        os.path.join(data_dir, "extrinsic_calib",
+                     f"{C}_cam_scene_sba.json"),
+        trial.scene.K, trial.scene.D, trial.scene.R, trial.scene.t,
+        trial.scene.cam_res)
+    dio.save_metadata(data_dir, start_frame=0, end_frame=N,
+                      monocular_cam=monocular_cam)
+    return data_dir
 
 
 def gated_weights(trial: SyntheticTrial, dlc_thresh: float = 0.5,

@@ -1,0 +1,360 @@
+"""High-level trajectory estimation pipeline.
+
+The TPU-native counterpart of the reference's ``CheetahEstimator`` +
+``init_trajectory`` / ``estimate_kinematics`` entry points
+(``acinoset_opt.py:21-635``): load a trial directory (DLC detections, scene
+calibration, metadata), assemble the jitted FTE problem, solve it with the
+batched GN/LM solver, and write the AcinoSet-format artifacts
+(fte.pickle + cam*_fte reprojections).
+
+Directory layout consumed (identical to the reference):
+
+  <root_dir>/<data_path>/
+      metadata.json                        start/end frame, cam_sync, ...
+      dlc/cam*.h5|.csv                     DLC predictions
+      (walk up) extrinsic_calib/N_cam_scene_sba.json
+
+Outputs land in ``fte_kinematic`` (multi-view), ``fte_kinematic_orig_<cam>``
+(monocular default), ``fte_kinematic_<cam>`` (data-driven), matching
+``acinoset_opt.py:626-628``.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import io as dio
+from ..models import noise as noise_tables
+from ..models import params as params_mod
+from ..models import skeleton as sk
+from ..ops import camera as cam_ops
+from ..priors import armodel, gmm as gmm_mod
+from ..solver import kinematic as kin
+from . import initialization as init_mod
+
+DATA_DRIVEN_DATASET = os.path.join(
+    ".", "models", "data-driven", "dataset_full_pose.h5")
+
+
+@dataclasses.dataclass
+class TrajectoryParams:
+    """Per-trial configuration (reference acinoset_misc.py:41-52)."""
+    data_dir: str
+    start_frame: int
+    end_frame: int
+    total_length: int
+    dlc_thresh: float
+    sync_offset: Optional[List[Dict]]
+    hand_labeled_data: bool
+    kinetic_dataset: bool
+    enable_shutter_delay_estimation: bool
+    enable_ppms: bool
+
+
+@dataclasses.dataclass
+class Scene:
+    """Calibrated camera rig (reference acinoset_misc.py:55-65)."""
+    scene_fpath: str
+    k_arr: np.ndarray
+    d_arr: np.ndarray
+    r_arr: np.ndarray
+    t_arr: np.ndarray
+    cam_res: tuple
+    fps: float
+    n_cams: int
+    cam_idx: Optional[int] = None
+
+
+@dataclasses.dataclass
+class CheetahEstimator:
+    name: str
+    data_path: str
+    subject: params_mod.SubjectParams
+    params: TrajectoryParams
+    scene: Scene
+    kinematic_model: bool = True
+    # filled by estimate_* calls
+    q: Optional[np.ndarray] = None
+    q0: Optional[np.ndarray] = None
+    data: Optional[kin.KinematicData] = None
+    fte: Optional[kin.KinematicFTE] = None
+    com_pos: Optional[np.ndarray] = None
+    com_vel: Optional[np.ndarray] = None
+    opt_time_s: Optional[float] = None
+    obj_cost: Optional[float] = None
+    costs: Optional[Dict] = None
+    xy: Optional[np.ndarray] = None       # (F, C, L, 2) raw detections
+    likelihood: Optional[np.ndarray] = None
+
+    @property
+    def scale_forces_by(self) -> float:
+        return self.subject.total_mass * 9.81
+
+    # -- derived state -------------------------------------------------------
+    def derivatives(self):
+        """Reconstruct the eliminated implicit-Euler collocation variables
+        dq/ddq (reference keeps them as pyomo vars; the elimination is exact,
+        see solver.kinematic module docstring)."""
+        q = self.q
+        h = 1.0 / self.scene.fps
+        N = q.shape[0]
+        dq = np.zeros_like(q)
+        ddq = np.zeros_like(q)
+        dq[1:] = (q[1:] - q[:-1]) / h
+        ddq[2:] = (dq[2:] - dq[1:-1]) / h
+        if N > 2:
+            ddq[1] = ddq[2] if N > 2 else 0.0
+            ddq[0] = ddq[1]
+            dq[0] = dq[1] - h * ddq[1]
+        return dq, ddq
+
+    def save(self, out_dir_name: str, fname: str = "fte",
+             out_dir_prefix: Optional[str] = None) -> str:
+        """Write fte.pickle + per-camera reprojections (reference
+        CheetahEstimator.save, acinoset_opt.py:278-373)."""
+        base = (os.path.join(out_dir_prefix, self.data_path)
+                if out_dir_prefix else self.params.data_dir)
+        out_dir = os.path.join(base, out_dir_name)
+        q = np.asarray(self.q, dtype=np.float64)
+        dq, ddq = self.derivatives()
+        positions = np.asarray(sk.fk_markers(q, self.subject))
+        x = np.asarray(sk.relative_pose(q))
+        dx = np.asarray(sk.relative_pose(dq))
+        ddx = np.asarray(sk.relative_pose(ddq))
+        com = np.asarray(sk.com_position(q, self.subject))
+        com_vel = (com[1:] - com[:-1]) * self.scene.fps
+        self.com_pos, self.com_vel = com, com_vel
+        # measurement slacks: reprojection - measurement for every (c, l, d, w)
+        meas_err = self._measurement_slacks(q, positions)
+        proj_fn = (cam_ops.project_pinhole if self.params.kinetic_dataset
+                   else cam_ops.project_fisheye)
+        sync = [0] * self.scene.n_cams
+        if self.params.sync_offset:
+            for off in self.params.sync_offset:
+                sync[off["cam"]] = off["frame"]
+        dio.save_fte_pickle(
+            os.path.join(out_dir, f"{fname}.pickle"), positions,
+            x=x, dx=dx, ddx=ddx, q=q, dq=dq, ddq=ddq, com_pos=com,
+            com_vel=com_vel, tau={}, meas_err=meas_err,
+            obj_cost=self.obj_cost, processing_time_s=self.opt_time_s,
+            start_frame=self.params.start_frame)
+        dio.save_3d_cheetah_as_2d(
+            [positions] * self.scene.n_cams, out_dir, self.scene.k_arr,
+            self.scene.d_arr, self.scene.r_arr, self.scene.t_arr,
+            self.scene.cam_res,
+            lambda X, k, d, r, t: np.asarray(proj_fn(jnp.asarray(X), k, d,
+                                                     r, t)),
+            self.params.start_frame, sync, out_fname=fname)
+        return out_dir
+
+    def _measurement_slacks(self, q, positions):
+        data = self.data
+        meas = np.asarray(data.meas)
+        proj_fn = (cam_ops.project_pinhole if self.params.kinetic_dataset
+                   else cam_ops.project_fisheye)
+        C = meas.shape[1]
+        out = np.zeros_like(meas)
+        cam = data.cam
+        for c in range(C):
+            uv = np.asarray(proj_fn(jnp.asarray(positions.reshape(-1, 3)),
+                                    cam.K[c], cam.D[c], cam.R[c],
+                                    cam.t[c])).reshape(meas.shape[0],
+                                                       meas.shape[2], 2)
+            out[:, c] = uv[..., None] - meas[:, c]
+        return out
+
+
+def _fps_for_path(data_path: str, kinetic_dataset: bool) -> float:
+    if not kinetic_dataset and "2019" in data_path:
+        return 120.0
+    if not kinetic_dataset and "2017" in data_path:
+        return 90.0
+    return 200.0
+
+
+def init_trajectory(root_dir: str, data_path: str, cheetah_name: str,
+                    kinetic_dataset: bool = False,
+                    start_frame: int = -1, end_frame: int = -1,
+                    dlc_thresh: float = 0.5,
+                    kinematic_model: bool = True,
+                    monocular_enable: bool = False,
+                    override_monocular_cam: Optional[int] = None,
+                    enable_ppm: bool = False,
+                    hand_labeled_data: bool = False,
+                    shutter_delay_estimation: bool = False,
+                    **_ignored) -> CheetahEstimator:
+    """Load a trial directory and assemble the estimation problem
+    (reference acinoset_opt.py:413-536; the IPOPT/solver-path machinery is
+    replaced by the jitted GN solver, so solver_path is not needed)."""
+    subject = params_mod.get_subject(cheetah_name)
+    data_dir = os.path.join(root_dir, data_path)
+    assert os.path.exists(data_dir), data_dir
+
+    ground_plane_height = 0.0
+    cam_idx = None
+    sync_offset = None
+    if start_frame < 0 or end_frame < 0:
+        meta = dio.load_metadata(data_dir)
+        start_frame = meta["start_frame"]
+        end_frame = meta["end_frame"]
+        sync_offset = meta.get("cam_sync")
+        ground_plane_height = meta.get("ground_plane_height", 0.0)
+        if monocular_enable:
+            cam_idx = meta.get("monocular_cam")
+    if override_monocular_cam is not None and monocular_enable:
+        cam_idx = override_monocular_cam
+    total_length = end_frame - start_frame
+
+    k_arr, d_arr, r_arr, t_arr, cam_res, n_cams, scene_fpath = \
+        dio.find_scene_file(data_dir)
+    d_arr = d_arr.reshape((-1, 4))
+    fps = _fps_for_path(data_path, kinetic_dataset)
+    params = TrajectoryParams(data_dir, start_frame, end_frame, total_length,
+                              dlc_thresh, sync_offset, hand_labeled_data,
+                              kinetic_dataset, shutter_delay_estimation,
+                              enable_ppm)
+    scene = Scene(scene_fpath, k_arr, d_arr, r_arr, t_arr, cam_res, fps,
+                  n_cams, cam_idx)
+    est = CheetahEstimator(cheetah_name, data_path, subject, params, scene,
+                           kinematic_model)
+    _load_measurements(est)
+    return est
+
+
+def _load_measurements(est: CheetahEstimator):
+    """Read DLC tables, apply sync offsets and frame window, build the
+    measurement/weight arrays (reference create_camera_contraints data path,
+    acinoset_misc.py:190-256)."""
+    p = est.params
+    dlc_dir = os.path.join(
+        p.data_dir, "dlc" if not p.hand_labeled_data else "dlc_hand_labeled")
+    xy, lik, _ = dio.load_dlc_points(dlc_dir, est.scene.n_cams)
+    sync = [0] * est.scene.n_cams
+    if p.sync_offset:
+        for off in p.sync_offset:
+            sync[off["cam"]] = off["frame"]
+    N = p.end_frame - p.start_frame
+    C = est.scene.n_cams
+    L = len(sk.MARKERS)
+    meas = np.zeros((N, C, L, 2))
+    likelihood = np.zeros((N, C, L))
+    for c in range(C):
+        lo = p.start_frame - sync[c]
+        hi = lo + N
+        lo_c = max(lo, 0)
+        hi_c = min(hi, xy.shape[0])
+        if hi_c > lo_c:
+            meas[lo_c - lo:hi_c - lo, c] = np.nan_to_num(xy[lo_c:hi_c, c])
+            likelihood[lo_c - lo:hi_c - lo, c] = lik[lo_c:hi_c, c]
+    est.xy = meas
+    est.likelihood = likelihood
+
+    w_rows = noise_tables.measurement_weights(1, p.kinetic_dataset)  # (1, L)
+    gate = (likelihood > p.dlc_thresh).astype(float)
+    weight = np.einsum("wl,ncl->nclw", w_rows, gate)
+
+    if est.scene.cam_idx is not None:
+        ci = est.scene.cam_idx
+        meas_s = meas[:, ci:ci + 1]
+        weight_s = weight[:, ci:ci + 1]
+        cam = kin.CameraSet(est.scene.k_arr[ci:ci + 1],
+                            est.scene.d_arr[ci:ci + 1],
+                            est.scene.r_arr[ci:ci + 1],
+                            est.scene.t_arr[ci:ci + 1])
+    else:
+        meas_s = meas
+        weight_s = weight
+        cam = kin.CameraSet(est.scene.k_arr, est.scene.d_arr,
+                            est.scene.r_arr, est.scene.t_arr)
+    gmmp = kin.GMMPrior(np.zeros((1, 22)), np.eye(22)[None], np.zeros((1,)))
+    ar = kin.ARAnchor(np.zeros((N, 28)), np.zeros(28), np.zeros(N))
+    est.data = kin.KinematicData(
+        meas=jnp.asarray(meas_s[..., None]),
+        weight=jnp.asarray(weight_s),
+        cam=jax.tree.map(jnp.asarray, cam),
+        h=jnp.asarray(1.0 / est.scene.fps),
+        acc_weight=jnp.asarray(noise_tables.acc_model_weights()),
+        frame_valid=jnp.ones(N), gmm=gmmp, ar=ar)
+
+
+def estimate_kinematics(est: CheetahEstimator,
+                        monocular_constraints: bool = False,
+                        disable_pose_prior: bool = False,
+                        disable_motion_prior: bool = False,
+                        pose_model_num_components: int = 5,
+                        motion_model_window_size: int = 4,
+                        motion_model_sparse_solution: bool = True,
+                        data_driven_dataset: Optional[str] = None,
+                        out_dir_prefix: Optional[str] = None,
+                        solver_output: bool = False,
+                        save: bool = True) -> bool:
+    """Kinematic FTE (reference acinoset_opt.py:539-635)."""
+    p = est.params
+    scene = est.scene
+    t0 = time.time()
+    # initial trajectory from the measurements
+    full_weight = np.einsum(
+        "wl,ncl->nclw",
+        noise_tables.measurement_weights(1, p.kinetic_dataset),
+        (est.likelihood > p.dlc_thresh).astype(float))
+    q0 = init_mod.initialize_trajectory(
+        est.xy[..., None], full_weight, scene.k_arr, scene.d_arr, scene.r_arr,
+        scene.t_arr, est.subject, fisheye=not p.kinetic_dataset,
+        cam_idx=scene.cam_idx, kinetic_dataset=p.kinetic_dataset)
+    est.q0 = q0
+
+    use_priors = monocular_constraints and scene.cam_idx is not None
+    use_gmm = use_priors and not disable_pose_prior
+    use_ar = use_priors and not disable_motion_prior
+    data = est.data
+    if use_gmm or use_ar:
+        dset = data_driven_dataset or DATA_DRIVEN_DATASET
+        if use_gmm:
+            from ..priors import dataset as ds
+            df = ds.load_pose_dataset(dset)
+            gp = gmm_mod.to_solver_prior(gmm_mod.fit(
+                df.iloc[:, 6:28].to_numpy(),
+                n_components=pose_model_num_components, seed=42))
+            data = data._replace(gmm=gp)
+        if use_ar:
+            mm = armodel.train_motion_model(
+                dset, window_size=motion_model_window_size,
+                lasso=motion_model_sparse_solution,
+                cache_dir=os.path.dirname(dset))
+            x_init = np.asarray(sk.relative_pose(q0))
+            y_pred, valid = armodel.anchor_predictions(mm, x_init)
+            data = data._replace(ar=kin.ARAnchor(
+                jnp.asarray(y_pred), jnp.asarray(armodel.motion_weights(mm)),
+                jnp.asarray(valid)))
+        est.data = data
+
+    cfg = kin.KinematicConfig(
+        fisheye=not p.kinetic_dataset, robust=not p.hand_labeled_data,
+        use_gmm=use_gmm, use_ar=use_ar,
+        kinetic_dataset=p.kinetic_dataset,
+        cam_multipliers=(1.0, 1.0, 0.6, 0.6) if p.kinetic_dataset else ())
+    fte = kin.KinematicFTE(cfg, est.subject)
+    est.fte = fte
+    run = fte.make_solver()
+    state = run(jnp.asarray(q0), data)
+    est.q = np.asarray(state.q, dtype=np.float64)
+    est.opt_time_s = time.time() - t0
+    est.obj_cost = float(fte.objective(state.q, data))
+    ok = bool(np.isfinite(est.obj_cost)) and bool(
+        np.all(np.isfinite(est.q)))
+    if solver_output:
+        print(f"solved in {est.opt_time_s:.1f}s, it={int(state.it)}, "
+              f"cost={float(state.cost):.2f}")
+    if ok and save:
+        fname = "fte_kinematic" + ("_gt" if p.hand_labeled_data else "")
+        if scene.cam_idx is not None:
+            fname = (f"fte_kinematic_{scene.cam_idx}" if monocular_constraints
+                     else f"fte_kinematic_orig_{scene.cam_idx}")
+        est.save(fname, out_dir_prefix=out_dir_prefix)
+    return ok
