@@ -133,20 +133,26 @@ def synthesize(q_gt: np.ndarray, subject: SubjectParams,
                dlc_thresh: float = 0.5, seed: int = 0,
                subject_name: str = "acinoset") -> SyntheticTrial:
     """Render noisy DLC-like detections of a q trajectory."""
+    import jax
+
     from ..ops import camera as cam_ops  # local import to keep numpy-only API
 
     rng = np.random.default_rng(seed)
-    markers = np.asarray(sk.fk_markers(q_gt, subject))
-    N = q_gt.shape[0]
-    if scene is None:
-        center = markers.mean(axis=(0, 1))
-        scene = ring_cameras(center)
-    C = scene.K.shape[0]
-    proj = cam_ops.project_fisheye if scene.fisheye else cam_ops.project_pinhole
-    meas = np.empty((N, C, sk.N_MARKERS, 2))
-    for c in range(C):
-        meas[:, c] = np.asarray(
-            proj(markers, scene.K[c], scene.D[c], scene.R[c], scene.t[c]))
+    with jax.default_device(jax.devices("cpu")[0]):
+        # host-side rendering: keep the accelerator free of tiny one-off jits
+        markers = np.asarray(sk.fk_markers(q_gt, subject))
+        N = q_gt.shape[0]
+        if scene is None:
+            center = markers.mean(axis=(0, 1))
+            scene = ring_cameras(center)
+        C = scene.K.shape[0]
+        proj = (cam_ops.project_fisheye if scene.fisheye
+                else cam_ops.project_pinhole)
+        meas = np.empty((N, C, sk.N_MARKERS, 2))
+        for c in range(C):
+            meas[:, c] = np.asarray(
+                proj(markers, scene.K[c], scene.D[c], scene.R[c],
+                     scene.t[c]))
     meas = meas + rng.normal(scale=noise_px, size=meas.shape)
     out_mask = rng.uniform(size=meas.shape[:3]) < outlier_frac
     meas[out_mask] += rng.normal(scale=outlier_px, size=(out_mask.sum(), 2))

@@ -10,10 +10,22 @@ per trial before the jitted solver.
 """
 from __future__ import annotations
 
+import contextlib
 from typing import Optional
 
+import jax
 import numpy as np
 from scipy.interpolate import UnivariateSpline
+
+
+def _on_cpu():
+    """Host-side prep (triangulation SVDs, undistortion) runs on the CPU
+    backend: tiny workloads, and e.g. SVD compiles take tens of seconds on
+    TPU — they would dominate the pipeline wall-clock."""
+    try:
+        return jax.default_device(jax.devices("cpu")[0])
+    except RuntimeError:
+        return contextlib.nullcontext()
 
 from ..models.params import SubjectParams
 from ..models.skeleton import LINK_NAMES, MARKERS
@@ -38,20 +50,21 @@ def triangulate_spine_multiview(meas: np.ndarray, weight: np.ndarray,
         weight = weight[..., 0]
     N, C = meas.shape[:2]
     undist = cam_ops.undistort_fisheye if fisheye else cam_ops.undistort_pinhole
-    ab = np.stack([np.asarray(undist(meas[:, c, SPINE], K[c], D[c]))
-                   for c in range(C)], axis=1)        # (N, C, 2)
-    ok = weight[:, :, SPINE] > 0                      # (N, C)
-    acc = np.zeros((N, 3))
-    cnt = np.zeros(N)
-    for i in range(C):
-        j = (i + 1) % C
-        pair_ok = ok[:, i] & ok[:, j]
-        if not pair_ok.any():
-            continue
-        X = np.asarray(cam_ops.triangulate_dlt(
-            ab[pair_ok, i], ab[pair_ok, j], R[i], t[i], R[j], t[j]))
-        acc[pair_ok] += X
-        cnt[pair_ok] += 1
+    with _on_cpu():
+        ab = np.stack([np.asarray(undist(meas[:, c, SPINE], K[c], D[c]))
+                       for c in range(C)], axis=1)    # (N, C, 2)
+        ok = weight[:, :, SPINE] > 0                  # (N, C)
+        acc = np.zeros((N, 3))
+        cnt = np.zeros(N)
+        for i in range(C):
+            j = (i + 1) % C
+            pair_ok = ok[:, i] & ok[:, j]
+            if not pair_ok.any():
+                continue
+            X = np.asarray(cam_ops.triangulate_dlt(
+                ab[pair_ok, i], ab[pair_ok, j], R[i], t[i], R[j], t[j]))
+            acc[pair_ok] += X
+            cnt[pair_ok] += 1
     out = np.full((N, 3), np.nan)
     nz = cnt > 0
     out[nz] = acc[nz] / cnt[nz, None]
@@ -75,8 +88,9 @@ def estimate_monocular_depth(meas: np.ndarray, weight: np.ndarray,
     depth estimate (median-filled where detections are missing).
     """
     undist = cam_ops.undistort_fisheye if fisheye else cam_ops.undistort_pinhole
-    ab = np.asarray(undist(meas[:, cam_idx, [NECK_BASE, TAIL_BASE]],
-                           K[cam_idx], D[cam_idx]))      # (N, 2, 2)
+    with _on_cpu():
+        ab = np.asarray(undist(meas[:, cam_idx, [NECK_BASE, TAIL_BASE]],
+                               K[cam_idx], D[cam_idx]))  # (N, 2, 2)
     sep = np.linalg.norm(ab[:, 0] - ab[:, 1], axis=1)
     ok = (weight[:, cam_idx, NECK_BASE] > 0) & \
         (weight[:, cam_idx, TAIL_BASE] > 0) & (sep > 1e-6)
@@ -108,16 +122,19 @@ def spine_from_single_view(meas: np.ndarray, weight: np.ndarray, cam_idx: int,
         meas = meas[..., 0]
         weight = weight[..., 0]
     undist = cam_ops.undistort_fisheye if fisheye else cam_ops.undistort_pinhole
-    ab = np.asarray(undist(meas[:, cam_idx, SPINE], K[cam_idx], D[cam_idx]))
+    with _on_cpu():
+        ab = np.asarray(undist(meas[:, cam_idx, SPINE], K[cam_idx],
+                               D[cam_idx]))
     if dist_to_plane is not None:
         depth = np.full(meas.shape[0], float(dist_to_plane))
     else:
         depth = estimate_monocular_depth(meas, weight, cam_idx, K, D, fisheye,
                                          body_axis_m)
-    X = np.stack([
-        np.array(cam_ops.backproject_to_distance(
-            ab[i], float(depth[i]), R[cam_idx], t[cam_idx]))
-        for i in range(meas.shape[0])])
+    with _on_cpu():
+        X = np.stack([
+            np.array(cam_ops.backproject_to_distance(
+                ab[i], float(depth[i]), R[cam_idx], t[cam_idx]))
+            for i in range(meas.shape[0])])
     ok = weight[:, cam_idx, SPINE] > 0
     X[~ok] = np.nan
     return X
