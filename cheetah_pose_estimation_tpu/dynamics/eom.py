@@ -175,11 +175,13 @@ def _axis_offset(axis: str) -> int:
 
 
 def build_torque_map() -> TorqueMap:
+    # motor names match the reference's tau-dict keys exactly (verified from
+    # a shipped fte_kinetic fte.pickle)
     motors = [
-        ("neck", "bodyF", "xyz", "neck"),
-        ("bodyF", "base", "xyz", "spine"),
-        ("base", "tail0", "yz", "spine-tail0"),
-        ("tail0", "tail1", "yz", "tail0-tail1"),
+        ("neck", "bodyF", "xyz", "neck_bodyF_torque"),
+        ("bodyF", "base", "xyz", "bodyF_base_torque"),
+        ("base", "tail0", "yz", "base_tail0_torque"),
+        ("tail0", "tail1", "yz", "tail0_tail1_torque"),
     ]
     for front, body in (("F", "bodyF"), ("B", "base")):
         for side in ("L", "R"):
@@ -187,8 +189,8 @@ def build_torque_map() -> TorqueMap:
             fb = "front" if front == "F" else "back"
             rl = "left" if side == "L" else "right"
             motors.append((body, u, "y", f"{fb}-{rl}-hip-pitch"))
-            motors.append((u, l, "y", f"{u}_{l}_knee"))
-            motors.append((l, h, "y", f"{l}_{h}_ankle"))
+            motors.append((u, l, "y", f"{u}_{l}_torque"))
+            motors.append((l, h, "y", f"{l}_{h}_torque"))
     cols = []
     names = []
     for a, b, axes, base_name in motors:
@@ -202,6 +204,21 @@ def build_torque_map() -> TorqueMap:
             cols.append(col)
             names.append(f"{base_name}:{ax}")
     return TorqueMap(B=np.stack(cols, axis=1), names=tuple(names))
+
+
+def tau_as_dict(tau: np.ndarray) -> dict:
+    """(N, 22) torque array -> the reference's per-motor tau dict layout
+    (motor name -> (N, n_components), acinoset_opt.py:310-317)."""
+    tau = np.asarray(tau)
+    out = {}
+    col = 0
+    for name in TORQUE_MAP.names:
+        motor = name.rsplit(":", 1)[0]
+        if motor not in out:
+            out[motor] = []
+        out[motor].append(tau[:, col])
+        col += 1
+    return {k: np.stack(v, axis=1) for k, v in out.items()}
 
 
 TORQUE_MAP = build_torque_map()

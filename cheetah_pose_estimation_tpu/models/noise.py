@@ -59,10 +59,17 @@ def measurement_weights(n_pairwise: int = 1,
     return 1.0 / R[:n_pairwise]
 
 
-def acc_model_weights() -> np.ndarray:
-    """(54,) constant-acceleration model weights 1/Q with 0 for free DOFs
-    (acinoset_misc.py:234)."""
-    w = np.zeros_like(Q)
+def acc_model_weights(floor: float = 1e-6) -> np.ndarray:
+    """(54,) constant-acceleration model weights 1/Q.
+
+    The reference assigns zero weight to DOFs with Q = 0 (leg/tail roll and
+    yaw, acinoset_misc.py:234), leaving them fully undetermined (each leg
+    link has an exact FK null direction). ``floor`` adds a vanishingly small
+    weight there so the solver picks the *smooth* representative of the
+    solution set — otherwise those dims carry huge spurious accelerations
+    into the physics-based stage. Pass floor=0 for strict reference parity.
+    """
+    w = np.full_like(Q, floor)
     nz = Q != 0
     w[nz] = 1.0 / Q[nz]
     return w

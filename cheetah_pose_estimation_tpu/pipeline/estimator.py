@@ -91,6 +91,9 @@ class CheetahEstimator:
     costs: Optional[Dict] = None
     xy: Optional[np.ndarray] = None       # (F, C, L, 2) raw detections
     likelihood: Optional[np.ndarray] = None
+    tau: Optional[np.ndarray] = None      # (N, 22) solved joint torques
+    grf_z: Optional[np.ndarray] = None    # (N, 4)
+    grf_xy: Optional[np.ndarray] = None   # (N, 4, 4)
 
     @property
     def scale_forces_by(self) -> float:
@@ -138,10 +141,12 @@ class CheetahEstimator:
         if self.params.sync_offset:
             for off in self.params.sync_offset:
                 sync[off["cam"]] = off["frame"]
+        from ..dynamics.eom import tau_as_dict
+        tau_dict = tau_as_dict(self.tau) if self.tau is not None else {}
         dio.save_fte_pickle(
             os.path.join(out_dir, f"{fname}.pickle"), positions,
             x=x, dx=dx, ddx=ddx, q=q, dq=dq, ddq=ddq, com_pos=com,
-            com_vel=com_vel, tau={}, meas_err=meas_err,
+            com_vel=com_vel, tau=tau_dict, meas_err=meas_err,
             obj_cost=self.obj_cost, processing_time_s=self.opt_time_s,
             start_frame=self.params.start_frame)
         dio.save_3d_cheetah_as_2d(
@@ -357,4 +362,132 @@ def estimate_kinematics(est: CheetahEstimator,
             fname = (f"fte_kinematic_{scene.cam_idx}" if monocular_constraints
                      else f"fte_kinematic_orig_{scene.cam_idx}")
         est.save(fname, out_dir_prefix=out_dir_prefix)
+    return ok
+
+
+def _load_warm_start(est: CheetahEstimator, monocular: bool,
+                     out_dir_prefix: Optional[str]):
+    """Warm start from the saved kinematic solution
+    (reference acinoset_opt.py:739-777)."""
+    base = (os.path.join(out_dir_prefix, est.data_path)
+            if out_dir_prefix else est.params.data_dir)
+    name = ("fte_kinematic" if not monocular or est.scene.cam_idx is None
+            else f"fte_kinematic_{est.scene.cam_idx}")
+    path = os.path.join(base, name, "fte.pickle")
+    if not os.path.exists(path) and monocular:
+        path = os.path.join(base, f"fte_kinematic_orig_{est.scene.cam_idx}",
+                            "fte.pickle")
+    d = dio.load_fte_pickle(path)
+    return d
+
+
+def determine_contacts(est: CheetahEstimator, monocular: bool = False,
+                       out_dir_prefix: Optional[str] = None,
+                       verbose: bool = False):
+    """Contact detection + GRF synthesis from the kinematic solution
+    (reference acinoset_opt.py:638-690)."""
+    from . import contacts as contacts_mod
+
+    d = _load_warm_start(est, monocular, out_dir_prefix)
+    est.com_vel = d["com_vel"]
+    est.com_pos = d["com_pos"]
+    speed = float(np.mean(np.linalg.norm(d["com_vel"], axis=1)))
+    avg_vel = np.mean(d["com_vel"], axis=0)
+    base = (os.path.join(out_dir_prefix, est.data_path)
+            if out_dir_prefix else est.params.data_dir)
+    contacts, contacts_tmp = contacts_mod.contact_detection(
+        d["q"], d["dq"], est.subject, est.params.start_frame, speed,
+        est.scene.fps, data_dir=base)
+    direction = 1.0 if avg_vel[0] < 0 else -1.0
+    contacts_mod.synth_grf_data(speed, direction, os.path.join(base, "grf"))
+    contacts_mod.synth_grf_data(speed, direction, os.path.join(base, "grf"),
+                                "autogen-contact-02.json", "data_synth_02")
+    if verbose:
+        print(contacts)
+    return contacts, contacts_tmp
+
+
+def estimate_kinetics(est: CheetahEstimator,
+                      joint_estimation: bool = True,
+                      synthesised_grf: bool = False,
+                      ground_constraint: bool = False,
+                      disable_pose_prior: bool = False,
+                      out_fname: str = "fte",
+                      out_dir_prefix: Optional[str] = None,
+                      solver_output: bool = False,
+                      save: bool = True) -> bool:
+    """Physics-based FTE (reference acinoset_opt.py:693-963): warm start from
+    the kinematic solution, contacts from autogen-contact.json; torques (and,
+    for joint estimation, GRFs) are eliminated per frame inside the solver."""
+    import json as _json
+
+    import jax.numpy as _jnp
+
+    from ..solver import kinetic as kn
+
+    p = est.params
+    t0 = time.time()
+    monocular = est.scene.cam_idx is not None
+    d = _load_warm_start(est, monocular, out_dir_prefix)
+    q_warm = jnp.asarray(d["q"])
+    est.com_vel = d["com_vel"]
+    est.com_pos = d["com_pos"]
+    base = (os.path.join(out_dir_prefix, est.data_path)
+            if out_dir_prefix else p.data_dir)
+    with open(os.path.join(base, "grf", "autogen-contact.json"),
+              encoding="utf-8") as f:
+        cj = _json.load(f)
+    N = p.end_frame - p.start_frame
+    stance = kn.stance_matrix(cj["contacts"], cj["start_frame"], N)
+    if synthesised_grf:
+        from . import contacts as contacts_mod
+        gz, gxy = contacts_mod.get_grf_profile(
+            N, base, p.data_dir, 1.0, 1.0 / est.scale_forces_by,
+            kinetic_dataset=p.kinetic_dataset, synthetic_data=True)
+        from ..dynamics.eom import FOOT_NAMES
+        grf_fixed = np.stack([gz[n] for n in FOOT_NAMES], axis=1)
+        grf_xy_fixed = np.stack([gxy[n] for n in FOOT_NAMES], axis=1)
+        use_fixed = 1.0
+    else:
+        grf_fixed = np.zeros((N, 4))
+        grf_xy_fixed = np.zeros((N, 4, 4))
+        use_fixed = 0.0
+    use_gmm = (not disable_pose_prior) and monocular
+    data = est.data
+    if use_gmm:
+        from ..priors import dataset as ds
+        df = ds.load_pose_dataset(DATA_DRIVEN_DATASET)
+        gp = gmm_mod.to_solver_prior(gmm_mod.fit(df.iloc[:, 6:28].to_numpy(),
+                                                 n_components=5, seed=42))
+        data = data._replace(gmm=gp)
+    kd = kn.KineticData(base=data, stance=_jnp.asarray(stance),
+                        grf_fixed=_jnp.asarray(grf_fixed),
+                        grf_xy_fixed=_jnp.asarray(grf_xy_fixed),
+                        use_fixed_grf=_jnp.asarray(use_fixed),
+                        q_warm=q_warm)
+    cfg = kn.KineticConfig(
+        fisheye=not p.kinetic_dataset, robust=not p.hand_labeled_data,
+        use_gmm=use_gmm, kinetic_dataset=p.kinetic_dataset,
+        foot_height_bound=0.03 if p.kinetic_dataset else 0.1,
+        cam_multipliers=(1.0, 1.0, 0.6, 0.6) if p.kinetic_dataset else ())
+    fte = kn.KineticFTE(cfg, est.subject)
+    run = fte.make_solver()
+    state = run(q_warm, kd)
+    est.q = np.asarray(state.q, dtype=np.float64)
+    est.opt_time_s = time.time() - t0
+    est.obj_cost = fte.objective(state.q, kd)
+    est.fte = fte
+    tau, gz_sol, gxy_sol = fte.forces(state.q, kd)
+    est.tau = np.asarray(tau)
+    est.grf_z = np.asarray(gz_sol)
+    est.grf_xy = np.asarray(gxy_sol)
+    ok = bool(np.all(np.isfinite(est.q)))
+    if solver_output:
+        print(f"kinetics solved in {est.opt_time_s:.1f}s, "
+              f"it={int(state.it)}, cost={float(state.cost):.2f}")
+    if ok and save:
+        dir_name = "fte_kinetic" + ("_gt" if p.hand_labeled_data else "")
+        if monocular:
+            dir_name = f"{dir_name}_{est.scene.cam_idx}"
+        est.save(dir_name, fname=out_fname, out_dir_prefix=out_dir_prefix)
     return ok
