@@ -1,0 +1,265 @@
+"""Results and biomechanics analysis layer.
+
+TPU-native port of the reference ``results.py`` computational cores: 2D
+reprojection metrics against hand labels, stance-normalized gait curves
+(joint angles / torques / power per limb role), GRF error against force
+plates, LCP complementarity checking, and contact-detection precision/recall.
+Plot helpers render with the Agg backend; every metric is also returned as
+data so the analysis is scriptable without matplotlib.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+from ..data import io as dio
+from ..dynamics.eom import FOOT_NAMES, TORQUE_MAP
+from ..models import skeleton as sk
+
+
+# ---------------------------------------------------------------------------
+# 2D reprojection metrics (reference results.py:1458-1605)
+# ---------------------------------------------------------------------------
+
+def reprojection_errors(fte_dir: str, hand_labeled_dir: str,
+                        out_fname: str = "fte",
+                        dlc_thresh: float = 0.5) -> Dict[str, float]:
+    """Pixel error stats of saved cam*_fte reprojections vs hand labels."""
+    errs = []
+    import glob as _glob
+    for cam_path in sorted(_glob.glob(os.path.join(
+            fte_dir, f"cam*_{out_fname}.csv"))):
+        cam_name = os.path.basename(cam_path).split("_")[0]
+        gt_path_h5 = os.path.join(hand_labeled_dir, f"{cam_name}.h5")
+        gt_path_csv = os.path.join(hand_labeled_dir, f"{cam_name}.csv")
+        gt_path = gt_path_h5 if os.path.exists(gt_path_h5) else gt_path_csv
+        if not os.path.exists(gt_path):
+            continue
+        pred = dio.load_reprojection_table(cam_path)
+        gt = dio.load_dlc_table(gt_path)
+        gt = gt.droplevel(0, axis=1)
+        common = pred.index.intersection(gt.index)
+        for m in sk.MARKERS:
+            if (m, "x") not in pred.columns or (m, "x") not in gt.columns:
+                continue
+            dx = pred.loc[common, (m, "x")].to_numpy(dtype=float) \
+                - gt.loc[common, (m, "x")].to_numpy(dtype=float)
+            dy = pred.loc[common, (m, "y")].to_numpy(dtype=float) \
+                - gt.loc[common, (m, "y")].to_numpy(dtype=float)
+            e = np.sqrt(dx * dx + dy * dy)
+            errs.extend(e[np.isfinite(e)].tolist())
+    errs = np.asarray(errs)
+    if errs.size == 0:
+        return {"mean_px": float("nan"), "median_px": float("nan"), "n": 0}
+    return {"mean_px": float(errs.mean()), "median_px": float(
+        np.median(errs)), "std_px": float(errs.std()), "n": int(errs.size)}
+
+
+# ---------------------------------------------------------------------------
+# gait analysis (reference results.py:514-751)
+# ---------------------------------------------------------------------------
+
+LIMB_JOINTS = {
+    # limb -> (hip/shoulder, knee, ankle) torque-map column names
+    "FL": ("front-left-hip-pitch:y", "UFL_LFL_torque:y", "LFL_HFL_torque:y"),
+    "FR": ("front-right-hip-pitch:y", "UFR_LFR_torque:y",
+           "LFR_HFR_torque:y"),
+    "BL": ("back-left-hip-pitch:y", "UBL_LBL_torque:y", "LBL_HBL_torque:y"),
+    "BR": ("back-right-hip-pitch:y", "UBR_LBR_torque:y", "LBR_HBR_torque:y"),
+}
+
+_TAU_COL = {n: i for i, n in enumerate(TORQUE_MAP.names)}
+
+
+def contact_json_conversion(json_path: str) -> Dict[str, List]:
+    """Contact json -> per-role (side, start, end) table
+    (reference results.py:514-546)."""
+    with open(json_path, "r", encoding="utf-8") as f:
+        cj = json.load(f)
+    start_frame, end_frame = cj["start_frame"], cj["end_frame"]
+    order = cj["contacts"]
+    ret = {"forelimb-trailing": ["", 0, 0], "forelimb-leading": ["", 0, 0],
+           "hindlimb-leading": ["", 0, 0], "hindlimb-trailing": ["", 0, 0]}
+    for name in FOOT_NAMES:
+        limb = "forelimb" if name[1] == "F" else "hindlimb"
+        side = "right" if name[2] == "R" else "left"
+        if name in order and order[name] is not None:
+            data = order[name]
+            s = data[0][0] - start_frame
+            e = data[0][1] - start_frame
+            if data[0][1] > end_frame:
+                ret[f"{limb}-{data[0][3]}"] = [side, 0, 0]
+            else:
+                ret[f"{limb}-{data[0][3]}"] = [side, s - 1 if s > 0 else s,
+                                               e + 1]
+        else:
+            other = order.get(
+                f"{name[:2]}{'L' if side == 'right' else 'R'}_foot")
+            if other is not None:
+                role = "leading" if other[0][3] == "trailing" else "trailing"
+                ret[f"{limb}-{role}"] = [side, 0, 0]
+    return ret
+
+
+def joint_angles(q: np.ndarray) -> Dict[str, np.ndarray]:
+    """Relative hip/knee/ankle pitch per limb over the trajectory."""
+    x = np.asarray(sk.relative_pose(np.asarray(q)))
+    # relative-pose layout: base(6) bodyF(3) neck(3) tail0(2) tail1(2)
+    # then theta per leg link: UFL LFL HFL UFR LFR HFR UBL LBL UBR LBR HBL HBR
+    names = ["UFL", "LFL", "HFL", "UFR", "LFR", "HFR", "UBL", "LBL", "UBR",
+             "LBR", "HBL", "HBR"]
+    out = {}
+    for i, n in enumerate(names):
+        out[n] = x[:, 16 + i]
+    return out
+
+
+def stance_normalized(series: np.ndarray, start: int, end: int,
+                      n_points: int = 101) -> np.ndarray:
+    """Resample a per-frame series onto 0-100% stance."""
+    seg = np.asarray(series)[start:end]
+    if len(seg) < 2:
+        return np.full(n_points, np.nan)
+    xp = np.linspace(0, 100, len(seg))
+    return np.interp(np.linspace(0, 100, n_points), xp, seg)
+
+
+def gait_analysis(q: np.ndarray, tau: Optional[np.ndarray],
+                  contact_json_path: str, fps: float) -> Dict:
+    """Stance-normalized joint angle / torque / power curves per limb role
+    (reference results.py:546-751)."""
+    contacts = contact_json_conversion(contact_json_path)
+    angles = joint_angles(q)
+    # relative joint velocities for power
+    dq = np.gradient(np.asarray(q), axis=0) * fps
+    dangles = joint_angles(dq)
+    out = {"angle": {}, "torque": {}, "power": {}, "contacts": contacts}
+    for role, (side, s, e) in contacts.items():
+        if e <= s:
+            continue
+        fore = role.startswith("forelimb")
+        prefix = ("F" if fore else "B") + ("R" if side == "right" else "L")
+        joints = LIMB_JOINTS[prefix]
+        labels = ("hip", "knee", "ankle")
+        for label, joint_col in zip(labels, joints):
+            link = {"hip": "U", "knee": "L", "ankle": "H"}[label] + prefix
+            ang = stance_normalized(angles[link], s, e)
+            out["angle"][f"{role}-{label}"] = ang
+            if tau is not None:
+                tcol = np.asarray(tau)[:, _TAU_COL[joint_col]]
+                tcurve = stance_normalized(tcol, s, e)
+                out["torque"][f"{role}-{label}"] = tcurve
+                p = tcol * dangles[link]
+                out["power"][f"{role}-{label}"] = stance_normalized(p, s, e)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# GRF / LCP checks (reference results.py:17-31, 1416-1446)
+# ---------------------------------------------------------------------------
+
+def check_grf(grf_z: np.ndarray, foot_heights: np.ndarray,
+              tol: float = 1e-2) -> Dict[str, float]:
+    """LCP complementarity sanity: GRFz * max(foot_height, 0) ~ 0
+    (reference check_grf, results.py:17-31)."""
+    comp = np.asarray(grf_z) * np.maximum(np.asarray(foot_heights), 0.0)
+    return {"max_violation": float(np.max(np.abs(comp))),
+            "mean_violation": float(np.mean(np.abs(comp))),
+            "ok": bool(np.max(np.abs(comp)) < tol)}
+
+
+def grf_error(grf_z_est: np.ndarray, grf_z_meas: Dict[int, np.ndarray],
+              contacts: Dict, start_frame: int) -> Dict[str, float]:
+    """RMSE of estimated vertical GRF vs measured plates during stance."""
+    errs = []
+    for i, name in enumerate(FOOT_NAMES):
+        seqs = contacts.get(name)
+        if seqs is None:
+            continue
+        plate = seqs[0][2] - 1
+        if plate not in grf_z_meas:
+            continue
+        meas = np.asarray(grf_z_meas[plate])[:, 2]
+        for s, e, *_ in seqs:
+            for f in range(s, e + 1):
+                t = f - start_frame
+                if 0 <= t < len(grf_z_est) and t < len(meas):
+                    errs.append(grf_z_est[t, i] - meas[t])
+    errs = np.asarray(errs)
+    if errs.size == 0:
+        return {"rmse_bw": float("nan"), "n": 0}
+    return {"rmse_bw": float(np.sqrt(np.mean(errs**2))), "n": int(errs.size)}
+
+
+# ---------------------------------------------------------------------------
+# contact detection scoring (reference results.py:194-364)
+# ---------------------------------------------------------------------------
+
+def contact_detection_analysis(pred: Dict, labeled: Dict,
+                               n_frames: int, start_frame: int
+                               ) -> Dict[str, float]:
+    """Per-frame precision/recall of predicted stances vs labeled stances."""
+    def to_mask(contacts):
+        m = np.zeros((n_frames, len(FOOT_NAMES)), bool)
+        for i, name in enumerate(FOOT_NAMES):
+            seqs = contacts.get(name)
+            if seqs is None:
+                continue
+            for s, e, *_ in seqs:
+                lo = max(s - start_frame, 0)
+                hi = min(e - start_frame + 1, n_frames)
+                m[lo:hi, i] = True
+        return m
+
+    p, l = to_mask(pred), to_mask(labeled)
+    tp = np.sum(p & l)
+    fp = np.sum(p & ~l)
+    fn = np.sum(~p & l)
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = (2 * precision * recall / (precision + recall)
+          if precision + recall else 0.0)
+    return {"precision": float(precision), "recall": float(recall),
+            "f1": float(f1), "tp": int(tp), "fp": int(fp), "fn": int(fn)}
+
+
+# ---------------------------------------------------------------------------
+# plots
+# ---------------------------------------------------------------------------
+
+def plot_torques(tau: np.ndarray, fps: float, out_path: str,
+                 columns: Tuple[str, ...] = ("front-left-hip-pitch:y",
+                                             "UFL_LFL_torque:y",
+                                             "LFL_HFL_torque:y")):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    t = np.arange(len(tau)) / fps
+    fig = plt.figure(figsize=(16, 9), dpi=60)
+    for c in columns:
+        plt.plot(t, np.asarray(tau)[:, _TAU_COL[c]], label=c)
+    plt.xlabel("Time (s)")
+    plt.ylabel("Torque (body-weight units)")
+    plt.legend()
+    fig.savefig(out_path, bbox_inches="tight")
+    plt.close(fig)
+
+
+def plot_gait_attributes(analysis: Dict, out_path: str):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, axs = plt.subplots(3, 1, figsize=(12, 14), dpi=60)
+    for ax, key in zip(axs, ("angle", "torque", "power")):
+        for label, curve in analysis[key].items():
+            ax.plot(np.linspace(0, 100, len(curve)), curve, label=label)
+        ax.set_ylabel(key)
+        ax.set_xlabel("% stance")
+        if analysis[key]:
+            ax.legend(fontsize=7)
+    fig.savefig(out_path, bbox_inches="tight")
+    plt.close(fig)

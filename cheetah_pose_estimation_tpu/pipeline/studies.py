@@ -1,0 +1,125 @@
+"""Hyper-parameter grid search and ablation studies.
+
+Port of the reference's study drivers (``run_dataset.py:635-915``): sweep GMM
+component counts x AR window sizes x L1/L2 regression for the data-driven
+mode, and prior on/off ablations — each configuration re-solves the monocular
+trials and aggregates MPE/MPJPE against the multi-view solution. On TPU the
+sweep axis is just more batch.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+from ..data import io as dio
+from . import estimator as est_mod
+from . import metrics as metrics_mod
+
+
+def _score_against_multiview(dir_prefix: str, data_path: str,
+                             sub: str) -> Optional[Tuple[float, float]]:
+    base = os.path.join(dir_prefix, data_path)
+    gt_p = os.path.join(base, "fte_kinematic", "fte.pickle")
+    p = os.path.join(base, sub, "fte.pickle")
+    if not (os.path.exists(gt_p) and os.path.exists(p)):
+        return None
+    gt = dio.load_fte_pickle(gt_p)["positions"]
+    pos = dio.load_fte_pickle(p)["positions"]
+    n = min(len(gt), len(pos))
+    mpe_tbl, _, _ = metrics_mod.traj_error(gt[:n].copy(), pos[:n].copy(),
+                                           verbose=False)
+    mpjpe_tbl, _, _ = metrics_mod.traj_error(gt[:n].copy(), pos[:n].copy(),
+                                             centered=True, verbose=False)
+    return float(mpe_tbl.mean().iloc[0]), float(mpjpe_tbl.mean().iloc[0])
+
+
+def run_grid_search(root_dir: str, dir_prefix: str, test_set: Tuple,
+                    pose_components: Tuple[int, ...] = (3, 5, 8),
+                    windows: Tuple[int, ...] = (2, 4, 6, 10),
+                    lasso_options: Tuple[bool, ...] = (True, False),
+                    cam_overrides: Optional[List[int]] = None,
+                    max_trials: Optional[int] = 3) -> pd.DataFrame:
+    """GMM-components x AR-window x L1/L2 sweep over the data-driven mode
+    (reference run_dataset.py:813-915)."""
+    rows = []
+    trials = test_set[:max_trials] if max_trials else test_set
+    for n_comp in pose_components:
+        for w in windows:
+            for lasso in lasso_options:
+                mpes, mpjpes = [], []
+                for idx, (cheetah, date, name) in enumerate(trials):
+                    data_path = os.path.join(date, cheetah, name)
+                    if not os.path.isdir(os.path.join(root_dir, data_path)):
+                        continue
+                    cam = (cam_overrides[idx] if cam_overrides else None)
+                    est = est_mod.init_trajectory(
+                        root_dir, data_path, cheetah, monocular_enable=True,
+                        override_monocular_cam=cam, kinematic_model=True)
+                    ok = est_mod.estimate_kinematics(
+                        est, monocular_constraints=True,
+                        pose_model_num_components=n_comp,
+                        motion_model_window_size=w,
+                        motion_model_sparse_solution=lasso,
+                        out_dir_prefix=dir_prefix)
+                    if not ok:
+                        continue
+                    cam_idx = est.scene.cam_idx
+                    s = _score_against_multiview(
+                        dir_prefix, data_path, f"fte_kinematic_{cam_idx}")
+                    if s:
+                        mpes.append(s[0])
+                        mpjpes.append(s[1])
+                rows.append(dict(n_components=n_comp, window=w, lasso=lasso,
+                                 mpe=np.mean(mpes) if mpes else np.nan,
+                                 mpjpe=np.mean(mpjpes) if mpjpes else np.nan,
+                                 n=len(mpes)))
+    df = pd.DataFrame(rows)
+    os.makedirs(dir_prefix, exist_ok=True)
+    df.to_csv(os.path.join(dir_prefix, "grid_search_results.csv"),
+              index=False)
+    return df
+
+
+def run_data_driven_ablation_study(root_dir: str, dir_prefix: str,
+                                   test_set: Tuple,
+                                   cam_overrides: Optional[List[int]] = None,
+                                   max_trials: Optional[int] = 3
+                                   ) -> pd.DataFrame:
+    """Pose/motion prior on-off ablation (reference run_dataset.py:635-810)."""
+    configs = [("both", False, False), ("no-pose", True, False),
+               ("no-motion", False, True), ("neither", True, True)]
+    rows = []
+    trials = test_set[:max_trials] if max_trials else test_set
+    for label, no_pose, no_motion in configs:
+        mpes, mpjpes = [], []
+        for idx, (cheetah, date, name) in enumerate(trials):
+            data_path = os.path.join(date, cheetah, name)
+            if not os.path.isdir(os.path.join(root_dir, data_path)):
+                continue
+            cam = cam_overrides[idx] if cam_overrides else None
+            est = est_mod.init_trajectory(
+                root_dir, data_path, cheetah, monocular_enable=True,
+                override_monocular_cam=cam, kinematic_model=True)
+            ok = est_mod.estimate_kinematics(
+                est, monocular_constraints=True,
+                disable_pose_prior=no_pose, disable_motion_prior=no_motion,
+                out_dir_prefix=dir_prefix)
+            if not ok:
+                continue
+            s = _score_against_multiview(
+                dir_prefix, data_path, f"fte_kinematic_{est.scene.cam_idx}")
+            if s:
+                mpes.append(s[0])
+                mpjpes.append(s[1])
+        rows.append(dict(config=label,
+                         mpe=np.mean(mpes) if mpes else np.nan,
+                         mpjpe=np.mean(mpjpes) if mpjpes else np.nan,
+                         n=len(mpes)))
+    df = pd.DataFrame(rows)
+    os.makedirs(dir_prefix, exist_ok=True)
+    df.to_csv(os.path.join(dir_prefix, "data_driven_ablation_results.csv"),
+              index=False)
+    return df
