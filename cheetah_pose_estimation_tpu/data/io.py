@@ -156,17 +156,26 @@ def load_dlc_table(fpath: str) -> pd.DataFrame:
     return pd.read_csv(fpath, header=[0, 1, 2], index_col=0)
 
 
-def load_dlc_points(dlc_dir: str, n_cams: Optional[int] = None):
+def load_dlc_points(dlc_dir: str, n_cams: Optional[int] = None,
+                    use_native: bool = True):
     """All per-camera DLC tables of a trial as arrays.
 
     Returns (xy (n_frames, C, L, 2), likelihood (n_frames, C, L), bodyparts).
     Table rows are aligned on the frame index (missing frames NaN / lik 0).
+    CSV tables go through the threaded C++ parser when available.
     """
     paths = sorted(glob(os.path.join(dlc_dir, "*.h5")))
     if not paths:
         paths = sorted(glob(os.path.join(dlc_dir, "*.csv")))
     if n_cams is not None:
         assert len(paths) == n_cams, (len(paths), n_cams)
+    if use_native and paths and paths[0].endswith(".csv"):
+        try:
+            from .. import native
+            if native.available():
+                return _load_dlc_points_native(paths)
+        except Exception:
+            pass  # fall through to the pandas path
     dfs = [load_dlc_table(p) for p in paths]
     bodyparts = list(dict.fromkeys(
         dfs[0].columns.get_level_values("bodyparts")))
@@ -181,6 +190,29 @@ def load_dlc_points(dlc_dir: str, n_cams: Optional[int] = None):
             xy[idx, c, l, 0] = df[(scorer, bp, "x")].to_numpy()
             xy[idx, c, l, 1] = df[(scorer, bp, "y")].to_numpy()
             lik[idx, c, l] = df[(scorer, bp, "likelihood")].to_numpy()
+    return xy, lik, bodyparts
+
+
+def _load_dlc_points_native(paths):
+    """Threaded C++ CSV parse of all per-camera tables (native runtime)."""
+    from .. import native
+
+    tables = native.load_tables(paths)
+    # bodyparts come from the CSV header of the first file
+    with open(paths[0], "r", encoding="utf-8") as f:
+        header = [f.readline() for _ in range(2)]
+    bp_line = header[1] if header[0].lower().startswith("scorer") else \
+        header[0]
+    cells = bp_line.strip().split(",")[1:]
+    bodyparts = list(dict.fromkeys(c for c in cells if c))
+    n_frames = max(int(idx.max()) for _, _, idx in tables) + 1
+    C = len(tables)
+    L = len(bodyparts)
+    xy = np.full((n_frames, C, L, 2), np.nan)
+    lik = np.zeros((n_frames, C, L))
+    for c, (xy_t, lik_t, idx) in enumerate(tables):
+        xy[idx, c] = xy_t
+        lik[idx, c] = lik_t
     return xy, lik, bodyparts
 
 
