@@ -491,3 +491,93 @@ def estimate_kinetics(est: CheetahEstimator,
             dir_name = f"{dir_name}_{est.scene.cam_idx}"
         est.save(dir_name, fname=out_fname, out_dir_prefix=out_dir_prefix)
     return ok
+
+
+def estimate_static_grf(est: CheetahEstimator, monocular: bool = False,
+                        out_dir_prefix: Optional[str] = None):
+    """Per-frame static GRF solve on a saved kinematic solution
+    (reference CheetahEstimator.estimate_grf, acinoset_opt.py:176-270)."""
+    import json as _json
+
+    import jax.numpy as _jnp
+
+    from ..solver import kinetic as kn
+    from ..solver.static_grf import estimate_static_grf as _solve
+
+    d = _load_warm_start(est, monocular, out_dir_prefix)
+    base = (os.path.join(out_dir_prefix, est.data_path)
+            if out_dir_prefix else est.params.data_dir)
+    with open(os.path.join(base, "grf", "autogen-contact.json"),
+              encoding="utf-8") as f:
+        cj = _json.load(f)
+    N = d["q"].shape[0]
+    stance = kn.stance_matrix(cj["contacts"], cj["start_frame"], N)
+    gz, gxy = _solve(_jnp.asarray(d["q"]), _jnp.asarray(d["dq"]),
+                     _jnp.asarray(d["ddq"]), _jnp.asarray(stance),
+                     est.subject)
+    return np.asarray(gz), np.asarray(gxy)
+
+
+def estimate_grf(est: CheetahEstimator, out_dir_prefix: Optional[str] = None,
+                 solver_output: bool = False, save: bool = True) -> bool:
+    """GRF re-estimation with torques anchored to the previous kinetic
+    solution (reference estimate_grf, acinoset_opt.py:966-1048: torques
+    bounded within 10%, zero GRF out of stance, foot-height box 0.03 m)."""
+    import json as _json
+
+    import jax.numpy as _jnp
+
+    from ..dynamics.eom import TORQUE_MAP
+    from ..solver import kinetic as kn
+
+    p = est.params
+    t0 = time.time()
+    base = (os.path.join(out_dir_prefix, est.data_path)
+            if out_dir_prefix else p.data_dir)
+    prev = dio.load_fte_pickle(os.path.join(base, "fte_kinetic",
+                                            "fte.pickle"))
+    q_warm = jnp.asarray(prev["q"])
+    # previous torques as the anchor
+    N = prev["q"].shape[0]
+    tau_prev = np.zeros((N, len(TORQUE_MAP.names)))
+    col = 0
+    for name in TORQUE_MAP.names:
+        motor = name.rsplit(":", 1)[0]
+        if motor in prev["tau"]:
+            idx = [n for n in TORQUE_MAP.names
+                   if n.startswith(motor + ":")].index(name)
+            tau_prev[:, col] = prev["tau"][motor][:, idx]
+        col += 1
+    with open(os.path.join(base, "grf", "autogen-contact.json"),
+              encoding="utf-8") as f:
+        cj = _json.load(f)
+    stance = kn.stance_matrix(cj["contacts"], cj["start_frame"], N)
+    # anchor weight ~ (10% of typical torque)^-2
+    scale = max(float(np.abs(tau_prev).mean()), 1e-2)
+    anchor_w = 1.0 / (0.1 * scale)**2
+    kd = kn.KineticData(base=est.data, stance=_jnp.asarray(stance),
+                        grf_fixed=_jnp.zeros((N, 4)),
+                        grf_xy_fixed=_jnp.zeros((N, 4, 4)),
+                        use_fixed_grf=_jnp.asarray(0.0), q_warm=q_warm,
+                        tau_anchor=_jnp.asarray(tau_prev),
+                        tau_anchor_weight=_jnp.asarray(anchor_w))
+    cfg = kn.KineticConfig(
+        fisheye=not p.kinetic_dataset, robust=not p.hand_labeled_data,
+        kinetic_dataset=p.kinetic_dataset, foot_height_bound=0.03,
+        cam_multipliers=(1.0, 1.0, 0.6, 0.6) if p.kinetic_dataset else ())
+    fte = kn.KineticFTE(cfg, est.subject)
+    state = fte.make_solver()(q_warm, kd)
+    est.q = np.asarray(state.q, dtype=np.float64)
+    est.opt_time_s = time.time() - t0
+    est.obj_cost = fte.objective(state.q, kd)
+    tau, gz, gxy = fte.forces(state.q, kd)
+    est.tau = np.asarray(tau)
+    est.grf_z = np.asarray(gz)
+    est.grf_xy = np.asarray(gxy)
+    ok = bool(np.all(np.isfinite(est.q)))
+    if solver_output:
+        print(f"grf re-estimation in {est.opt_time_s:.1f}s, "
+              f"cost={float(state.cost):.2f}")
+    if ok and save:
+        est.save("fte_grf", fname="fte", out_dir_prefix=out_dir_prefix)
+    return ok

@@ -56,6 +56,11 @@ class KineticData(NamedTuple):
     grf_xy_fixed: jnp.ndarray  # (N, 4, 4) fixed polygon components
     use_fixed_grf: jnp.ndarray  # scalar 1.0 -> use fixed profiles
     q_warm: jnp.ndarray        # (N, 54) kinematic warm start (tracking)
+    # optional torque anchor (GRF re-estimation mode, acinoset_opt.py:995-1001
+    # bounds torques within 10% of the prior kinetic solution — realized here
+    # as a quadratic anchor in the per-frame elimination)
+    tau_anchor: jnp.ndarray = jnp.zeros((1, dyn.N_TAU))   # (N, 22) or (1, 22)
+    tau_anchor_weight: jnp.ndarray = jnp.asarray(0.0)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -125,7 +130,8 @@ class KineticFTE:
         return jnp.concatenate([cols_z, cols_xy], axis=1)
 
     def _frame_eom_terms(self, q3: jnp.ndarray, data: KineticData,
-                         stance_t, grf_z_fix, grf_xy_fix):
+                         stance_t, grf_z_fix, grf_xy_fix,
+                         tau_anchor_t=None):
         """EOM slack for one frame given (q[t-2], q[t-1], q[t]) stacked (3,54).
 
         Returns (slack (54,), tau (22,), grf_z (4,), grf_xy (4,4)).
@@ -152,12 +158,16 @@ class KineticFTE:
         zfix = jnp.concatenate([grf_z_fix, grf_xy_fix.reshape(16)])
         lhs_eff = lhs - data.use_fixed_grf * (Cg @ (zfix * gmask))
         we = cfg.eom_weight
+        wa = data.tau_anchor_weight
         wreg = jnp.concatenate([
-            jnp.full((dyn.N_TAU,), cfg.torque_weight, dtype),
+            jnp.full((dyn.N_TAU,), cfg.torque_weight, dtype) + wa,
             jnp.full((20,), 1e-3, dtype)])  # tiny ridge on free GRF
-        # minimize we * |lhs_eff - A z|^2 + z^T diag(wreg) z
+        # minimize we|lhs_eff - A z|^2 + z^T diag(wreg) z + wa|tau - anchor|^2
         AtA = we * (A.T @ A) + jnp.diag(wreg)
-        z = jnp.linalg.solve(AtA, we * (A.T @ lhs_eff))
+        rhs = we * (A.T @ lhs_eff)
+        if tau_anchor_t is not None:
+            rhs = rhs.at[:dyn.N_TAU].add(wa * tau_anchor_t)
+        z = jnp.linalg.solve(AtA, rhs)
         tau = z[:dyn.N_TAU]
         g = z[dyn.N_TAU:]
         # projection: GRF nonnegative, friction polyhedron
@@ -195,15 +205,19 @@ class KineticFTE:
         h = data.base.h
         q3 = self._q3_stack(q)
         valid = self._eom_valid(data)
+        anchor = jnp.broadcast_to(data.tau_anchor,
+                                  (q.shape[0], dyn.N_TAU))
         slack, tau, gz, gxy = jax.vmap(
-            lambda q3t, st, gf, gxf: self._frame_eom_terms(
-                q3t, data, st, gf, gxf))(
-            q3, data.stance, data.grf_fixed, data.grf_xy_fixed)
+            lambda q3t, st, gf, gxf, an: self._frame_eom_terms(
+                q3t, data, st, gf, gxf, an))(
+            q3, data.stance, data.grf_fixed, data.grf_xy_fixed, anchor)
         eom_cost = cfg.eom_weight * jnp.sum(
             valid[:, None] * slack * slack)
         torque_cost = cfg.torque_weight * jnp.sum(
             valid[:, None] * tau * tau)
-        return eom_cost, torque_cost, (slack, tau, gz, gxy)
+        anchor_cost = data.tau_anchor_weight * jnp.sum(
+            valid[:, None] * (tau - anchor)**2)
+        return eom_cost, torque_cost + anchor_cost, (slack, tau, gz, gxy)
 
     def _smooth_cost(self, q: jnp.ndarray, data: KineticData) -> jnp.ndarray:
         """Marker-position second-difference energy (reference
