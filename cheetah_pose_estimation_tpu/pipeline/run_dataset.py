@@ -48,6 +48,15 @@ TEST_SET: Tuple[Tuple[str, str, str], ...] = (
 
 CAM_OVERRIDES = [0, 0, 0, 3, 3, 3, 5, 0, 3, 0]  # run_dataset.py:1398
 
+# the 5 force-plate trials (reference run_dataset.py:1093-1099)
+KINETIC_SET: Tuple[Tuple[str, str, str], ...] = (
+    ("arabia", "2009_09_07", "06"),
+    ("shiraz", "2009_09_07", "04"),
+    ("shiraz", "2009_09_08", "04"),
+    ("shiraz", "2009_09_11", "01"),
+    ("shiraz", "2009_09_11", "02"),
+)
+
 REF_TEST_SET = "/root/reference/data/test_set"
 
 
@@ -77,6 +86,38 @@ def materialize_synthetic_testset(root_dir: str, n_cams: int = 6,
         syn.write_trial_dir(tr, root_dir, data_path,
                             monocular_cam=2)
         # stash ground truth for scoring against the true synthetic GT
+        with open(os.path.join(root_dir, data_path, "synthetic_gt.pickle"),
+                  "wb") as f:
+            pickle.dump({"q": q_gt, "positions": tr.markers_gt}, f)
+        made.append(data_path)
+    return made
+
+
+def materialize_synthetic_kinetic_testset(root_dir: str, n_cams: int = 4,
+                                          seed: int = 100) -> List[str]:
+    """Synthetic copies of the 5 force-plate trials: pinhole cameras at
+    200 fps (the 2009 kinetic-dataset rig)."""
+    made = []
+    for i, (cheetah, date, trial) in enumerate(KINETIC_SET):
+        data_path = os.path.join("kinetic_dataset", date, cheetah,
+                                 f"trial{trial}")
+        ref_pickle = os.path.join(REF_TEST_SET, "kinetic_dataset", date,
+                                  cheetah, f"trial{trial}",
+                                  "fte_kinematic", "fte.pickle")
+        if os.path.exists(ref_pickle):
+            with open(ref_pickle, "rb") as f:
+                q_gt = pickle.load(f)["q"]
+        else:
+            q_gt = syn.gallop_trajectory(50, fps=200.0, seed=seed + i)
+        subject = params_mod.get_subject(cheetah)
+        markers = np.asarray(sk.fk_markers(q_gt, subject))
+        scene = syn.ring_cameras(markers.mean(axis=(0, 1)), n_cams=n_cams,
+                                 fps=200.0, distance=6.0, fisheye=False,
+                                 seed=seed + i)
+        tr = syn.synthesize(q_gt, subject, scene, noise_px=2.0,
+                            outlier_frac=0.01, seed=seed + i,
+                            subject_name=cheetah)
+        syn.write_trial_dir(tr, root_dir, data_path, monocular_cam=0)
         with open(os.path.join(root_dir, data_path, "synthetic_gt.pickle"),
                   "wb") as f:
             pickle.dump({"q": q_gt, "positions": tr.markers_gt}, f)
@@ -133,6 +174,88 @@ def run_monocular(root_dir: str, dir_prefix: str,
                                       out_dir_prefix=dir_prefix,
                                       solver_output=verbose)
     print(f"Run through all videos took {time.time() - t_start:.2f}s")
+
+
+def run_kinetic(root_dir: str, dir_prefix: str,
+                kinetic_set: Tuple = KINETIC_SET, verbose: bool = True):
+    """Force-plate-trial pipeline (reference run_dataset.py:1092-1140):
+    kinematics -> kinetics with synthesized GRF + ground constraint -> GRF
+    re-estimation with tight EOM bounds."""
+    t0 = time.time()
+    for cheetah, date, trial in kinetic_set:
+        data_path = os.path.join("kinetic_dataset", date, cheetah,
+                                 f"trial{trial}")
+        if not os.path.isdir(os.path.join(root_dir, data_path)):
+            print(f"skip missing {data_path}")
+            continue
+        est = est_mod.init_trajectory(root_dir, data_path, cheetah,
+                                      kinetic_dataset=True,
+                                      kinematic_model=True)
+        ok = est_mod.estimate_kinematics(est, out_dir_prefix=dir_prefix,
+                                         solver_output=verbose)
+        if not ok:
+            continue
+        est = est_mod.init_trajectory(root_dir, data_path, cheetah,
+                                      kinetic_dataset=True,
+                                      kinematic_model=False)
+        est_mod.determine_contacts(est, out_dir_prefix=dir_prefix)
+        ok = est_mod.estimate_kinetics(est, joint_estimation=False,
+                                       synthesised_grf=True,
+                                       ground_constraint=True,
+                                       out_dir_prefix=dir_prefix,
+                                       solver_output=verbose)
+        if not ok:
+            continue
+        est = est_mod.init_trajectory(root_dir, data_path, cheetah,
+                                      kinetic_dataset=True,
+                                      kinematic_model=False)
+        est_mod.estimate_grf(est, out_dir_prefix=dir_prefix,
+                             solver_output=verbose)
+    print(f"Run through all videos took {time.time() - t0:.2f}s")
+
+
+def kinetic_analysis(root_dir: str, dir_prefix: str,
+                     kinetic_set: Tuple = KINETIC_SET) -> Dict:
+    """Biomechanics analysis over the kinetic trials (reference
+    run_dataset.py:1018-1089): stance-normalized gait curves, 2D
+    reprojection metrics vs hand labels, torque plots, GRF error."""
+    from . import results as results_mod
+    from ..dynamics.eom import TORQUE_MAP
+
+    out = {}
+    gait_array = []
+    for cheetah, date, trial in kinetic_set:
+        data_path = os.path.join("kinetic_dataset", date, cheetah,
+                                 f"trial{trial}")
+        base = os.path.join(dir_prefix, data_path)
+        fte_p = os.path.join(base, "fte_kinetic", "fte.pickle")
+        if not os.path.exists(fte_p):
+            continue
+        d = dio.load_fte_pickle(fte_p)
+        cj_path = os.path.join(base, "grf", "autogen-contact.json")
+        meta_path = os.path.join(root_dir, data_path, "metadata.json")
+        contact_path = cj_path if os.path.exists(cj_path) else meta_path
+        tau = np.zeros((d["q"].shape[0], len(TORQUE_MAP.names)))
+        col = 0
+        for name in TORQUE_MAP.names:
+            motor = name.rsplit(":", 1)[0]
+            if motor in d["tau"]:
+                idx = [n for n in TORQUE_MAP.names
+                       if n.startswith(motor + ":")].index(name)
+                tau[:, col] = d["tau"][motor][:, idx]
+            col += 1
+        ga = results_mod.gait_analysis(d["q"], tau, contact_path, fps=200.0)
+        gait_array.append(ga)
+        results_mod.plot_torques(tau, 200.0,
+                                 os.path.join(base, "torques.pdf"))
+        hand_dir = os.path.join(root_dir, data_path, "dlc_hand_labeled")
+        if os.path.isdir(hand_dir):
+            out[data_path] = results_mod.reprojection_errors(
+                os.path.join(base, "fte_kinetic"), hand_dir)
+        if gait_array:
+            results_mod.plot_gait_attributes(
+                ga, os.path.join(base, "gait.pdf"))
+    return out
 
 
 def distance_from_camera(data_path: str, com_pos: np.ndarray, cam_idx: int):
@@ -293,6 +416,10 @@ def main(argv=None):
                           cam_overrides)
         dataset_post_process(args.root_dir, args.out_dir_prefix, TEST_SET,
                              cam_overrides)
+    if args.run_kinetic:
+        if args.clean:
+            run_kinetic(args.root_dir, args.out_dir_prefix)
+        print(kinetic_analysis(args.root_dir, args.out_dir_prefix))
     if args.run_acinoset:
         print(validate_dataset(args.out_dir_prefix))
     if args.run_grid_search:
