@@ -26,6 +26,15 @@ import time
 from typing import Dict, List, Optional
 
 import jax
+
+# The file-based pipeline is accuracy-first: the physics-based stage's normal
+# system spans ~1e10 in curvature (EOM 1/h^4 channel vs. weak priors), beyond
+# float32 solvability, so double precision is enabled globally here. TPU
+# executes f64 via emulation (correct, slower); the high-throughput batched
+# kinematic path (bench.py / solver APIs) explicitly passes float32 data and
+# is unaffected by this flag beyond defaults.
+jax.config.update("jax_enable_x64", True)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -38,8 +47,23 @@ from ..priors import armodel, gmm as gmm_mod
 from ..solver import kinematic as kin
 from . import initialization as init_mod
 
-DATA_DRIVEN_DATASET = os.path.join(
-    ".", "models", "data-driven", "dataset_full_pose.h5")
+def _default_data_driven_dataset() -> str:
+    """Training dataset for the learned priors. Resolution order: env var,
+    local ./models/data-driven (the reference's location convention), the
+    mounted reference snapshot."""
+    cands = [os.environ.get("CHEETAH_DATA_DRIVEN_DATASET"),
+             os.path.join(".", "models", "data-driven",
+                          "dataset_full_pose.h5"),
+             os.path.join(".", "models", "data-driven",
+                          "dataset_full_pose.csv"),
+             "/root/reference/models/data-driven/dataset_full_pose.csv"]
+    for c in cands:
+        if c and os.path.exists(c):
+            return c
+    return cands[1]
+
+
+DATA_DRIVEN_DATASET = _default_data_driven_dataset()
 
 
 @dataclasses.dataclass
