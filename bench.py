@@ -56,16 +56,23 @@ def main():
     trials_per_min = 60.0 / s_per_trial
     vs_baseline = BASELINE_S_PER_TRIAL / s_per_trial
 
-    # quality sanity: MPE vs the source ground truth (stderr only)
+    # quality sanity: MPE/MPJPE vs the true synthetic ground truth (stderr).
+    # For calibration: the reference's default monocular mode scores
+    # MPE 264 / MPJPE 119 mm against its own multi-view solve (BASELINE.md).
     from cheetah_pose_estimation_tpu.models import skeleton as sk
-    errs = []
+    mpes, mpjpes = [], []
     for i, tr in enumerate(trials):
         n = tr.q_gt.shape[0]
         rec = np.asarray(sk.fk_markers(np.asarray(st.q[i][:n], np.float64),
                                        subject))
-        errs.append(np.mean(np.linalg.norm(rec - tr.markers_gt, axis=2)) * 1e3)
+        gt = tr.markers_gt
+        mpes.append(np.mean(np.linalg.norm(rec - gt, axis=2)) * 1e3)
+        recc = rec - rec.mean(1, keepdims=True)
+        gtc = gt - gt.mean(1, keepdims=True)
+        mpjpes.append(np.mean(np.linalg.norm(recc - gtc, axis=2)) * 1e3)
     print(f"# batch={B} N=64 compile={compile_s:.1f}s run={dt*1e3:.1f}ms "
-          f"({s_per_trial*1e3:.1f} ms/trial) mean-MPE={np.mean(errs):.0f}mm "
+          f"({s_per_trial*1e3:.1f} ms/trial) MPE={np.mean(mpes):.0f}mm "
+          f"MPJPE={np.mean(mpjpes):.0f}mm "
           f"costs_finite={bool(np.all(np.isfinite(np.asarray(st.cost))))}",
           file=sys.stderr)
 

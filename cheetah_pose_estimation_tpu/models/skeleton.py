@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -173,6 +174,117 @@ def marker_positions(frames: LinkFrames) -> jnp.ndarray:
 def fk_markers(q: jnp.ndarray, params: SubjectParams) -> jnp.ndarray:
     """q (..., 54) -> marker positions (..., 24, 3)."""
     return marker_positions(link_frames(q, params))
+
+
+# ---------------------------------------------------------------------------
+# Linear-form FK: markers are linear in the per-link rotation matrices
+# ---------------------------------------------------------------------------
+#
+# Because every link's orientation is an ABSOLUTE Euler rotation (no nesting)
+# and every attachment offset is constant in its link's body frame, the chain
+# telescopes:      marker_m(q) = q[0:3] + sum_l R_l(q) @ c_{l,m}
+# with constant coefficient vectors c. This turns FK into one einsum on the
+# MXU and gives closed-form Jacobians: d marker / d angle_lk =
+# (dR_l/d angle_k) @ c_{l,m}. The coefficients are extracted once per subject
+# by differentiating the chain FK with respect to the rotation matrices.
+
+_COEF_CACHE = {}
+
+
+def marker_coefficients(params: SubjectParams) -> np.ndarray:
+    """(17, 24, 3) constant body-frame coefficient vectors c_{l,m}."""
+    key = params.name
+    if key in _COEF_CACHE:
+        return _COEF_CACHE[key]
+
+    def markers_of_R(R_flat):
+        R = R_flat.reshape(N_LINKS, 3, 3)
+        q = jnp.zeros(NQ)
+        frames = _frames_from_R(q, R, params)
+        return marker_positions(frames).reshape(-1)
+
+    # runs eagerly even when first touched inside a traced function
+    with jax.ensure_compile_time_eval():
+        eye = jnp.broadcast_to(jnp.eye(3), (N_LINKS, 3, 3)).reshape(-1)
+        J = np.asarray(jax.jacfwd(markers_of_R)(eye)).reshape(
+            N_MARKERS, 3, N_LINKS, 3, 3)
+    # linearity in R_l: d marker_i / d R_l[i, j] = c_{l,m}[j] (independent
+    # of i); read it off the i = row diagonal
+    C = np.einsum("milij->lmj", J) / 3.0
+    # verify exactness: rebuild with i=0 row only must agree
+    C0 = J[:, 0, :, 0, :].transpose(1, 0, 2)
+    assert np.allclose(C, C0, atol=1e-12), "FK is not linear in R?!"
+    _COEF_CACHE[key] = C
+    return C
+
+
+def _frames_from_R(q, R, params: SubjectParams) -> LinkFrames:
+    """link_frames with externally supplied rotations (coefficient probe)."""
+    length = jnp.asarray(params.length, dtype=R.dtype)
+    axis = jnp.asarray(_AXIS, dtype=R.dtype)
+    axis_w = jnp.einsum("lij,lj->li", R, axis * length[:, None])
+    radius = jnp.asarray(params.radius, dtype=R.dtype)
+    i_base = _L["base"]
+    base_com = q[0:3]
+    tops = [None] * N_LINKS
+    tops[i_base] = base_com - 0.5 * axis_w[i_base]
+    base_bottom = base_com + 0.5 * axis_w[i_base]
+    base_top = tops[i_base]
+    tops[_L["bodyF"]] = base_bottom
+    bodyF_bottom = base_bottom + axis_w[_L["bodyF"]]
+    bodyF_com = base_bottom + 0.5 * axis_w[_L["bodyF"]]
+    tops[_L["neck"]] = bodyF_bottom
+    tops[_L["tail0"]] = base_top
+    tops[_L["tail1"]] = base_top + axis_w[_L["tail0"]]
+    lF, rF = length[_L["bodyF"]], radius[_L["bodyF"]]
+    lB, rB = length[i_base], radius[i_base]
+    for name, sgn in (("UFL", -1.0), ("UFR", 1.0)):
+        off = jnp.asarray([0.0, 0.0, 0.0]).at[0].set(-lF / 2).at[1].set(
+            sgn * rF)
+        tops[_L[name]] = bodyF_com + R[_L["bodyF"]] @ off
+    for name, sgn in (("UBL", -1.0), ("UBR", 1.0)):
+        off = jnp.asarray([0.0, 0.0, 0.0]).at[0].set(lB / 2).at[1].set(
+            sgn * rB)
+        tops[_L[name]] = base_com + R[i_base] @ off
+    for thigh, calf, hock in (("UFL", "LFL", "HFL"), ("UFR", "LFR", "HFR"),
+                              ("UBL", "LBL", "HBL"), ("UBR", "LBR", "HBR")):
+        tops[_L[calf]] = tops[_L[thigh]] + axis_w[_L[thigh]]
+        tops[_L[hock]] = tops[_L[calf]] + axis_w[_L[calf]]
+    top = jnp.stack(tops)
+    bottom = top + axis_w
+    com = top + 0.5 * axis_w
+    com = com.at[i_base].set(base_com)
+    return LinkFrames(R=R, top=top, bottom=bottom, com=com)
+
+
+def fk_markers_linear(q: jnp.ndarray, params: SubjectParams) -> jnp.ndarray:
+    """Linear-form FK: identical to fk_markers, one rotation stack + einsum."""
+    C = jnp.asarray(marker_coefficients(params), q.dtype)
+    R = euler_zyx(_angles_from_q(q))                      # (..., 17, 3, 3)
+    pts = jnp.einsum("...lij,lmj->...mi", R, C)
+    return pts + q[..., None, 0:3]
+
+
+def fk_markers_and_jacobian(q: jnp.ndarray, params: SubjectParams):
+    """Closed-form (markers (24, 3), J (24, 3, 54)) for a single frame.
+
+    J[..., 0:3] = I (base translation); J w.r.t. link l's Euler angles is
+    (dR_l/d angle) @ c_{l,m} with dR from a 3-tangent jacfwd of the rotation
+    stack (exact; far cheaper than 54 FK tangents).
+    """
+    C = jnp.asarray(marker_coefficients(params), q.dtype)
+    ang = _angles_from_q(q)                               # (17, 3)
+    R = euler_zyx(ang)
+    pts = jnp.einsum("lij,lmj->mi", R, C) + q[None, 0:3]
+    dR = jax.vmap(jax.jacfwd(euler_zyx))(ang)             # (17, 3, 3, 3)
+    # J_ang[m, i, l, k] = sum_j dR[l, i, j, k] C[l, m, j]
+    J_ang = jnp.einsum("lijk,lmj->milk", dR, C)           # (24, 3, 17, 3)
+    J = jnp.zeros((N_MARKERS, 3, NQ), q.dtype)
+    J = J.at[:, :, 0:3].set(jnp.broadcast_to(jnp.eye(3, dtype=q.dtype),
+                                             (N_MARKERS, 3, 3)))
+    J = J.at[:, :, 3:6].set(J_ang[:, :, 0])
+    J = J.at[:, :, 6:].set(J_ang[:, :, 1:].reshape(N_MARKERS, 3, NQ - 6))
+    return pts, J
 
 
 def com_position(q: jnp.ndarray, params: SubjectParams) -> jnp.ndarray:

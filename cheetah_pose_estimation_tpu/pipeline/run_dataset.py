@@ -284,6 +284,83 @@ def distance_from_camera(data_path: str, com_pos: np.ndarray, cam_idx: int):
     return dist, angles
 
 
+def run_monocular_all(root_dir: str, dir_prefix: str,
+                      test_set: Tuple = TEST_SET,
+                      modes: Tuple[str, ...] = ("default", "data-driven"),
+                      verbose: bool = False):
+    """Sweep every camera of every trial (reference run_monocular_all,
+    run_dataset.py:918-1015) — feeds the distance-vs-error analysis."""
+    for idx, (cheetah, date, trial_name) in enumerate(test_set):
+        data_path = os.path.join(date, cheetah, trial_name)
+        if not os.path.isdir(os.path.join(root_dir, data_path)):
+            continue
+        k_arr, *_ = dio.find_scene_file(os.path.join(root_dir, data_path))
+        n_cams = len(k_arr)
+        for cam in range(n_cams):
+            run_monocular(root_dir, dir_prefix,
+                          ((cheetah, date, trial_name),),
+                          cam_overrides=[cam],
+                          modes=tuple(m for m in modes), verbose=verbose)
+
+
+def distance_vs_error(root_dir: str, dir_prefix: str,
+                      test_set: Tuple = TEST_SET,
+                      cam_overrides: Optional[List[int]] = None,
+                      save_plot: bool = True) -> pd.DataFrame:
+    """Reconstruction error vs CoM camera distance scatter (reference
+    run_dataset.py:208-362)."""
+    rows = []
+    for idx, (cheetah, date, trial_name) in enumerate(test_set):
+        data_path = os.path.join(date, cheetah, trial_name)
+        base = os.path.join(dir_prefix, data_path)
+        gt_p = os.path.join(base, "fte_kinematic", "fte.pickle")
+        if not os.path.exists(gt_p):
+            continue
+        gt = dio.load_fte_pickle(gt_p)
+        if cam_overrides is not None:
+            cams = [cam_overrides[idx]]
+        else:
+            with open(os.path.join(root_dir, data_path, "metadata.json"),
+                      encoding="utf-8") as f:
+                cams = [json.load(f)["monocular_cam"]]
+        for cam_idx in cams:
+            for mode, sub in (("default", f"fte_kinematic_orig_{cam_idx}"),
+                              ("data-driven", f"fte_kinematic_{cam_idx}"),
+                              ("physics-based", f"fte_kinetic_{cam_idx}")):
+                p = os.path.join(base, sub, "fte.pickle")
+                if not os.path.exists(p):
+                    continue
+                d = dio.load_fte_pickle(p)
+                n = min(len(d["positions"]), len(gt["positions"]))
+                err = np.linalg.norm(
+                    d["positions"][:n] - gt["positions"][:n],
+                    axis=2).mean() * 1000
+                dist, angle = distance_from_camera(
+                    os.path.join(root_dir, data_path),
+                    np.asarray(gt["com_pos"]), cam_idx)
+                rows.append(dict(trial=data_path, cam=cam_idx, mode=mode,
+                                 mpe_mm=float(err),
+                                 distance_m=float(dist.mean()),
+                                 angle_deg=float(np.mean(angle))))
+    df = pd.DataFrame(rows)
+    if save_plot and len(df):
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig = plt.figure(figsize=(12, 8), dpi=60)
+        for mode, grp in df.groupby("mode"):
+            plt.scatter(grp["distance_m"], grp["mpe_mm"], label=mode)
+        plt.xlabel("CoM distance from camera (m)")
+        plt.ylabel("MPE (mm)")
+        plt.legend()
+        os.makedirs(dir_prefix, exist_ok=True)
+        fig.savefig(os.path.join(dir_prefix, "dist_vs_error.pdf"),
+                    bbox_inches="tight")
+        plt.close(fig)
+        df.to_csv(os.path.join(dir_prefix, "dist_vs_error.csv"), index=False)
+    return df
+
+
 def validate_dataset(dir_prefix: str, test_set: Tuple = TEST_SET,
                      cam_overrides: Optional[List[int]] = None) -> Dict:
     """Plausibility filters (reference run_dataset.py:54-115): CoM speed
@@ -422,6 +499,11 @@ def main(argv=None):
         print(kinetic_analysis(args.root_dir, args.out_dir_prefix))
     if args.run_acinoset:
         print(validate_dataset(args.out_dir_prefix))
+    if args.run_analysis:
+        if args.clean:
+            run_monocular_all(args.root_dir, args.out_dir_prefix, TEST_SET)
+        print(distance_vs_error(args.root_dir, args.out_dir_prefix,
+                                TEST_SET, cam_overrides))
     if args.run_grid_search:
         from . import studies
         studies.run_grid_search(args.root_dir, args.out_dir_prefix, TEST_SET)

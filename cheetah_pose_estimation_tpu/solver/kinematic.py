@@ -252,12 +252,21 @@ class KinematicFTE:
     # -- full cost -----------------------------------------------------------
     def _cost(self, q: jnp.ndarray, data: KinematicData,
               loss_scale: jnp.ndarray = 1.0) -> jnp.ndarray:
+        # The cost is the LM accept/reject arbiter: bf16 matmul noise here
+        # (~0.4% of a several-thousand objective) would randomly reject good
+        # steps, tripling the iteration count. Full f32 products are cheap on
+        # this path (small einsums), so force them.
+        with jax.default_matmul_precision("highest"):
+            return self._cost_impl(q, data, loss_scale)
+
+    def _cost_impl(self, q: jnp.ndarray, data: KinematicData,
+                   loss_scale: jnp.ndarray = 1.0) -> jnp.ndarray:
         cfg = self.config
         w_all = self._meas_weights(data)
         s = jnp.asarray(loss_scale, q.dtype)
 
         def frame_meas_cost(q_t, meas_t, w_t):
-            pts = sk.fk_markers(q_t, self.subject)
+            pts = sk.fk_markers_linear(q_t, self.subject)
             uv = self._project(pts, data.cam)
             res = uv[..., None] - meas_t
             if cfg.robust:
@@ -319,25 +328,35 @@ class KinematicFTE:
         s = jnp.asarray(loss_scale, q.dtype)
         w_all = self._meas_weights(data)
 
-        # measurement: per-frame J^T W J via jacfwd over the 54-dim state
-        def frame_terms(q_t, meas_t, w_t):
-            def res_fn(qq):
-                pts = sk.fk_markers(qq, self.subject)
-                uv = self._project(pts, data.cam)
-                return (uv[..., None] - meas_t).ravel()
+        # measurement normal terms with closed-form FK Jacobians: FK is
+        # linear in the per-link rotations, so J = J_proj @ J_markers with
+        # J_markers analytic (skeleton.fk_markers_and_jacobian) — ~10x
+        # cheaper than 54-tangent jacfwd, and cheap enough to run the
+        # quality-critical products at full f32 precision on TPU.
+        proj = camera.project_fisheye if cfg.fisheye else \
+            camera.project_pinhole
 
-            r = res_fn(q_t)
-            J = jax.jacfwd(res_fn)(q_t)                  # (M, 54)
-            w = jnp.broadcast_to(w_t, meas_t.shape).ravel()
+        def frame_terms(q_t, meas_t, w_t):
+            pts, Jm = sk.fk_markers_and_jacobian(q_t, self.subject)
+            uv = self._project(pts, data.cam)            # (C, 24, 2)
+            Juv = jax.vmap(lambda K, D, R, t: jax.vmap(
+                jax.jacfwd(lambda p: proj(p, K, D, R, t)))(pts))(
+                data.cam.K, data.cam.D, data.cam.R,
+                data.cam.t)                              # (C, 24, 2, 3)
+            res = uv[..., None] - meas_t                 # (C, 24, 2, W)
+            w = jnp.broadcast_to(w_t, res.shape)
             if cfg.robust:
                 gw, hw = losses.gauss_newton_weights(
-                    r, w, losses.redescending, cfg.curvature_floor,
+                    res, w, losses.redescending, cfg.curvature_floor,
                     loss_params=(3.0 * s, 10.0 * s, 20.0 * s))
             else:
-                gw, hw = 2.0 * w * w * r, 2.0 * w * w
-                hw = jnp.broadcast_to(hw, r.shape)
-            g_t = J.T @ gw
-            H_t = (J * hw[:, None]).T @ J
+                gw, hw = 2.0 * w * w * res, 2.0 * w * w \
+                    * jnp.ones_like(res)
+            J = jnp.einsum("cmdi,mik->cmdk", Juv, Jm)    # (C, 24, 2, 54)
+            Jf = J.reshape(-1, NQ)                       # (C*24*2, 54)
+            g_t = Jf.T @ jnp.sum(gw, axis=-1).reshape(-1)
+            hsum = jnp.sum(hw, axis=-1).reshape(-1)      # (C*24*2,)
+            H_t = (Jf * hsum[:, None]).T @ Jf
             return g_t, H_t
 
         g_meas, H_meas = jax.vmap(frame_terms)(q, data.meas, w_all)
@@ -422,11 +441,17 @@ class KinematicFTE:
             stages_eff = stages
 
         def run(q0: jnp.ndarray, data: KinematicData) -> gn_mod.LMState:
-            cost_fn = lambda q, s: self._cost(q, data, s)
-            normal_fn = lambda q, s: self._normal(q, data, s)
-            return gn_mod.lm_solve_annealed(
-                cost_fn, normal_fn, q0, stages_eff,
-                gn_mod.LMConfig(ftol=ftol, lam0=lam0))
+            # full f32 matmul precision throughout: on TPU the default bf16
+            # passes corrupt the 1e7-scale motion-prior gradients, the
+            # joint-limit active sets and the accept/reject cost, tripling
+            # iteration counts and degrading the optimum. The matrices here
+            # are small, so the cost of full precision is modest.
+            with jax.default_matmul_precision("highest"):
+                cost_fn = lambda q, s: self._cost_impl(q, data, s)
+                normal_fn = lambda q, s: self._normal(q, data, s)
+                return gn_mod.lm_solve_annealed(
+                    cost_fn, normal_fn, q0, stages_eff,
+                    gn_mod.LMConfig(ftol=ftol, lam0=lam0))
 
         run_jit = jax.jit(run)
         self._solve_cache[key] = run_jit
