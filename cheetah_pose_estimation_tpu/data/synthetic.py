@@ -166,7 +166,7 @@ def synthesize(q_gt: np.ndarray, subject: SubjectParams,
 
 
 def write_trial_dir(trial: SyntheticTrial, root_dir: str, data_path: str,
-                    monocular_cam: int = 0) -> str:
+                    monocular_cam: int = 0, write_ppm: bool = False) -> str:
     """Materialize a synthetic trial as an AcinoSet-style directory tree:
     dlc/cam*.h5|.csv, extrinsic_calib/N_cam_scene_sba.json, metadata.json —
     the exact inputs the file-based pipeline (pipeline.estimator) consumes."""
@@ -179,6 +179,15 @@ def write_trial_dir(trial: SyntheticTrial, root_dir: str, data_path: str,
         dio.save_dlc_table(
             os.path.join(data_dir, "dlc", f"cam{c + 1}.h5"),
             trial.meas[:, c, :, :, 0], trial.likelihood[:, c, :, 0])
+    if write_ppm:
+        from . import ppm as ppm_mod
+        for c in range(C):
+            pose, lik, pws = ppm_mod.synthesize_ppm(
+                trial.meas[:, c, :, :, 0], trial.likelihood[:, c, :, 0],
+                seed=c)
+            ppm_mod.save_ppm_pickle(
+                os.path.join(data_dir, "dlc_pw", f"cam{c + 1}.pickle"),
+                pose, lik, pws)
     dio.save_scene(
         os.path.join(data_dir, "extrinsic_calib",
                      f"{C}_cam_scene_sba.json"),

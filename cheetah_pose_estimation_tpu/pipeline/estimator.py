@@ -284,27 +284,41 @@ def _load_measurements(est: CheetahEstimator):
     est.xy = meas
     est.likelihood = likelihood
 
-    w_rows = noise_tables.measurement_weights(1, p.kinetic_dataset)  # (1, L)
-    gate = (likelihood > p.dlc_thresh).astype(float)
-    weight = np.einsum("wl,ncl->nclw", w_rows, gate)
+    if p.enable_ppms:
+        # augment with pairwise pseudo-measurements (W = 3)
+        from glob import glob as _glob
+
+        from ..data import ppm as ppm_mod
+        pw_dir = dlc_dir + "_pw"
+        pw_paths = sorted(_glob(os.path.join(pw_dir, "*.pickle")))
+        assert len(pw_paths) == C, (pw_paths, C)
+        pw_frames = [ppm_mod.load_ppm_pickle(pth) for pth in pw_paths]
+        meas_full, weight_full = ppm_mod.assemble_ppm_measurements(
+            xy, lik, pw_frames, p.start_frame, N, p.dlc_thresh,
+            p.kinetic_dataset)
+    else:
+        w_rows = noise_tables.measurement_weights(1, p.kinetic_dataset)
+        gate = (likelihood > p.dlc_thresh).astype(float)
+        weight_full = np.einsum("wl,ncl->nclw", w_rows, gate)
+        meas_full = meas[..., None]
 
     if est.scene.cam_idx is not None:
         ci = est.scene.cam_idx
-        meas_s = meas[:, ci:ci + 1]
-        weight_s = weight[:, ci:ci + 1]
+        meas_s = meas_full[:, ci:ci + 1]
+        weight_s = weight_full[:, ci:ci + 1]
         cam = kin.CameraSet(est.scene.k_arr[ci:ci + 1],
                             est.scene.d_arr[ci:ci + 1],
                             est.scene.r_arr[ci:ci + 1],
                             est.scene.t_arr[ci:ci + 1])
     else:
-        meas_s = meas
-        weight_s = weight
+        meas_s = meas_full
+        weight_s = weight_full
         cam = kin.CameraSet(est.scene.k_arr, est.scene.d_arr,
                             est.scene.r_arr, est.scene.t_arr)
     gmmp = kin.GMMPrior(np.zeros((1, 22)), np.eye(22)[None], np.zeros((1,)))
     ar = kin.ARAnchor(np.zeros((N, 28)), np.zeros(28), np.zeros(N))
     est.data = kin.KinematicData(
-        meas=jnp.asarray(meas_s[..., None]),
+        meas=jnp.asarray(meas_s),
         weight=jnp.asarray(weight_s),
         cam=jax.tree.map(jnp.asarray, cam),
         h=jnp.asarray(1.0 / est.scene.fps),
@@ -319,11 +333,19 @@ def estimate_kinematics(est: CheetahEstimator,
                         pose_model_num_components: int = 5,
                         motion_model_window_size: int = 4,
                         motion_model_sparse_solution: bool = True,
+                        motion_prior_rolling: int = 0,
                         data_driven_dataset: Optional[str] = None,
                         out_dir_prefix: Optional[str] = None,
                         solver_output: bool = False,
                         save: bool = True) -> bool:
-    """Kinematic FTE (reference acinoset_opt.py:539-635)."""
+    """Kinematic FTE (reference acinoset_opt.py:539-635).
+
+    ``motion_prior_rolling``: extra outer refinements of the AR motion prior.
+    The reference computes the AR predictions ONCE from the initialization
+    and anchors the solution to them (acinoset_misc.py:316-328); with
+    rolling > 0 the predictions are recomputed from the current solution and
+    the problem re-solved (a lagged true-AR prior — improvement over the
+    reference semantics, off by default for parity)."""
     p = est.params
     scene = est.scene
     t0 = time.time()
@@ -372,6 +394,14 @@ def estimate_kinematics(est: CheetahEstimator,
     est.fte = fte
     run = fte.make_solver()
     state = run(jnp.asarray(q0), data)
+    if use_ar and motion_prior_rolling > 0:
+        for _ in range(motion_prior_rolling):
+            x_cur = np.asarray(sk.relative_pose(np.asarray(state.q)))
+            y_pred, valid = armodel.anchor_predictions(mm, x_cur)
+            data = data._replace(ar=data.ar._replace(
+                y_pred=jnp.asarray(y_pred), valid=jnp.asarray(valid)))
+            state = run(state.q, data)
+        est.data = data
     est.q = np.asarray(state.q, dtype=np.float64)
     est.opt_time_s = time.time() - t0
     est.obj_cost = float(fte.objective(state.q, data))

@@ -127,25 +127,36 @@ def train_motion_model(dataset_fname: str, num_vars: int = 28,
                        window_time: int = 1, lasso: bool = True,
                        alpha: float = 1e-2,
                        cache_dir: Optional[str] = None,
-                       validation_fname: Optional[str] = None) -> MotionModel:
+                       validation_fname: Optional[str] = None,
+                       pose_model=None) -> MotionModel:
     """Train (or load from cache) the AR motion model.
+
+    ``pose_model``: optional priors.pca.PoseModel — features/targets are
+    projected through the PCA basis before regression (reference
+    ``MotionModel(pose_model=...)``, acinoset_models.py:182-257: predictions
+    then live in the (ext_dim + n_comps)-dim reduced space).
 
     Cache key matches the reference scheme (md5 over the same tuple), with a
     ``.tpu`` suffix since the payload format differs from the sklearn dills.
     """
     df = ds.load_pose_dataset(dataset_fname)
     data = df.iloc[:, start_idx:start_idx + num_vars].to_numpy()
+    if pose_model is not None:
+        data = pose_model.project(data)
     X, y = ds.windowed_dataset(data, df.index.values, window_size, window_time)
     if validation_fname is None:
         validation_fname = os.path.join(os.path.dirname(dataset_fname),
                                         "validation_dataset.h5")
     dfv = ds.load_pose_dataset(validation_fname)
     datav = dfv.iloc[:, start_idx:start_idx + num_vars].to_numpy()
+    if pose_model is not None:
+        datav = pose_model.project(datav)
     Xv, yv = ds.windowed_dataset(datav, dfv.index.values, window_size,
                                  window_time)
 
     uid = unique_id((os.path.basename(dataset_fname), num_vars, start_idx,
-                     window_size, window_time, lasso, False))
+                     window_size, window_time, lasso,
+                     pose_model is not None))
     cache_path = None
     if cache_dir is not None:
         os.makedirs(cache_dir, exist_ok=True)
