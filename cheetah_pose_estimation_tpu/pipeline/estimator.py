@@ -118,6 +118,7 @@ class CheetahEstimator:
     tau: Optional[np.ndarray] = None      # (N, 22) solved joint torques
     grf_z: Optional[np.ndarray] = None    # (N, 4)
     grf_xy: Optional[np.ndarray] = None   # (N, 4, 4)
+    shutter_delay: Optional[np.ndarray] = None  # (C,) seconds
 
     @property
     def scale_forces_by(self) -> float:
@@ -326,6 +327,32 @@ def _load_measurements(est: CheetahEstimator):
         frame_valid=jnp.ones(N), gmm=gmmp, ar=ar)
 
 
+def _fit_shutter_delays(fte, q, data, scene):
+    """Per-camera 1-D scans of the shutter delay tau at fixed q (camera 0
+    pinned to 0), then refresh the lagged base-velocity/acceleration terms."""
+    q_np = np.asarray(q)
+    h = 1.0 / scene.fps
+    vel = np.zeros((q_np.shape[0], 3))
+    acc = np.zeros((q_np.shape[0], 3))
+    vel[1:] = (q_np[1:, :3] - q_np[:-1, :3]) / h
+    acc[2:] = (vel[2:] - vel[1:-1]) / h
+    C = data.meas.shape[1]
+    taus = np.linspace(-h, h, 41)
+    best = np.zeros(C)
+    base_tau = jnp.zeros(C)
+    for c in range(1, C):
+        costs = []
+        for t in taus:
+            d = data._replace(sd_tau=base_tau.at[c].set(t),
+                              sd_vel=jnp.asarray(vel),
+                              sd_acc=jnp.asarray(acc))
+            costs.append(float(fte.cost(q, d)))
+        best[c] = taus[int(np.argmin(costs))]
+    data = data._replace(sd_tau=jnp.asarray(best), sd_vel=jnp.asarray(vel),
+                         sd_acc=jnp.asarray(acc))
+    return data, best
+
+
 def estimate_kinematics(est: CheetahEstimator,
                         monocular_constraints: bool = False,
                         disable_pose_prior: bool = False,
@@ -394,6 +421,15 @@ def estimate_kinematics(est: CheetahEstimator,
     est.fte = fte
     run = fte.make_solver()
     state = run(jnp.asarray(q0), data)
+    if p.enable_shutter_delay_estimation and scene.cam_idx is None:
+        # alternate: fit per-camera shutter delays by 1-D scans at fixed q,
+        # refresh the lagged base-velocity terms, re-solve (reference couples
+        # tau as live variables, acinoset_misc.py:180-286; camera 0 pinned)
+        for _ in range(2):
+            data, tau = _fit_shutter_delays(fte, state.q, data, scene)
+            state = run(state.q, data)
+        est.shutter_delay = np.asarray(tau)
+        est.data = data
     if use_ar and motion_prior_rolling > 0:
         for _ in range(motion_prior_rolling):
             x_cur = np.asarray(sk.relative_pose(np.asarray(state.q)))

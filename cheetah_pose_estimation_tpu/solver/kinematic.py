@@ -67,6 +67,16 @@ class KinematicData(NamedTuple):
     frame_valid: jnp.ndarray  # (N,) 1.0 for real frames, 0.0 for padding
     gmm: GMMPrior
     ar: ARAnchor
+    # shutter-delay correction (reference acinoset_misc.py:180-286): camera c
+    # observes the scene tau_c seconds late; the 3D pose is advanced along
+    # the base velocity/acceleration. sd_vel/sd_acc hold those base
+    # derivatives from the current outer-iteration trajectory (the reference
+    # couples them as live collocation variables; here they are lagged
+    # constants refreshed between alternating solves — the correction is
+    # second-order small). Defaults disable the feature.
+    sd_tau: jnp.ndarray = jnp.zeros(1)       # (C,)
+    sd_vel: jnp.ndarray = jnp.zeros((1, 3))  # (N, 3)
+    sd_acc: jnp.ndarray = jnp.zeros((1, 3))  # (N, 3)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -234,11 +244,25 @@ class KinematicFTE:
         self._solve_cache = {}
 
     # -- measurement ---------------------------------------------------------
-    def _project(self, pts: jnp.ndarray, cam: CameraSet) -> jnp.ndarray:
+    def _project(self, pts: jnp.ndarray, cam: CameraSet,
+                 shift: jnp.ndarray | None = None) -> jnp.ndarray:
         proj = camera.project_fisheye if self.config.fisheye else \
             camera.project_pinhole
-        return jax.vmap(lambda K, D, R, t: proj(pts, K, D, R, t))(
-            cam.K, cam.D, cam.R, cam.t)  # (C, 24, 2)
+        if shift is None:
+            return jax.vmap(lambda K, D, R, t: proj(pts, K, D, R, t))(
+                cam.K, cam.D, cam.R, cam.t)  # (C, 24, 2)
+        return jax.vmap(lambda K, D, R, t, sft: proj(pts + sft[None, :],
+                                                     K, D, R, t))(
+            cam.K, cam.D, cam.R, cam.t, shift)
+
+    @staticmethod
+    def _shutter_shift(data: KinematicData, N: int) -> jnp.ndarray:
+        """(N, C, 3) per-frame per-camera world shift tau*vel + tau^2*acc."""
+        tau = data.sd_tau
+        C = data.meas.shape[1]
+        shift = (data.sd_vel[:, None, :] * tau[None, :, None]
+                 + data.sd_acc[:, None, :] * (tau ** 2)[None, :, None])
+        return jnp.broadcast_to(shift, (N, C, 3))
 
     def _meas_weights(self, data: KinematicData) -> jnp.ndarray:
         """(N, C, L, 1, W) weights incl. camera uncertainty multipliers."""
@@ -265,16 +289,18 @@ class KinematicFTE:
         w_all = self._meas_weights(data)
         s = jnp.asarray(loss_scale, q.dtype)
 
-        def frame_meas_cost(q_t, meas_t, w_t):
+        shift = self._shutter_shift(data, q.shape[0])
+
+        def frame_meas_cost(q_t, meas_t, w_t, shift_t):
             pts = sk.fk_markers_linear(q_t, self.subject)
-            uv = self._project(pts, data.cam)
+            uv = self._project(pts, data.cam, shift_t)
             res = uv[..., None] - meas_t
             if cfg.robust:
                 return jnp.sum(losses.redescending(w_t * res, 3.0 * s,
                                                    10.0 * s, 20.0 * s))
             return jnp.sum((w_t * res) ** 2)
 
-        meas = jnp.sum(jax.vmap(frame_meas_cost)(q, data.meas, w_all))
+        meas = jnp.sum(jax.vmap(frame_meas_cost)(q, data.meas, w_all, shift))
         model = acc_cost(q, data.h, data.acc_weight, data.frame_valid)
         pose = jnp.zeros((), q.dtype)
         motion = jnp.zeros((), q.dtype)
@@ -336,13 +362,16 @@ class KinematicFTE:
         proj = camera.project_fisheye if cfg.fisheye else \
             camera.project_pinhole
 
-        def frame_terms(q_t, meas_t, w_t):
+        shift_all = self._shutter_shift(data, N)
+
+        def frame_terms(q_t, meas_t, w_t, shift_t):
             pts, Jm = sk.fk_markers_and_jacobian(q_t, self.subject)
-            uv = self._project(pts, data.cam)            # (C, 24, 2)
-            Juv = jax.vmap(lambda K, D, R, t: jax.vmap(
-                jax.jacfwd(lambda p: proj(p, K, D, R, t)))(pts))(
+            uv = self._project(pts, data.cam, shift_t)   # (C, 24, 2)
+            Juv = jax.vmap(lambda K, D, R, t, sft: jax.vmap(
+                jax.jacfwd(lambda p: proj(p, K, D, R, t)))(
+                    pts + sft[None, :]))(
                 data.cam.K, data.cam.D, data.cam.R,
-                data.cam.t)                              # (C, 24, 2, 3)
+                data.cam.t, shift_t)                     # (C, 24, 2, 3)
             res = uv[..., None] - meas_t                 # (C, 24, 2, W)
             w = jnp.broadcast_to(w_t, res.shape)
             if cfg.robust:
@@ -359,7 +388,8 @@ class KinematicFTE:
             H_t = (Jf * hsum[:, None]).T @ Jf
             return g_t, H_t
 
-        g_meas, H_meas = jax.vmap(frame_terms)(q, data.meas, w_all)
+        g_meas, H_meas = jax.vmap(frame_terms)(q, data.meas, w_all,
+                                               shift_all)
 
         # constant-acceleration banded quadratic (linear -> exact)
         H_acc = acc_banded(data.h, data.acc_weight, data.frame_valid)
