@@ -62,7 +62,9 @@ def _accel(q, dq, tau, subject: SubjectParams, cp: ContactParams,
     rhs = Q_contact + Q_tau - dyn.bias_terms(q, dq, subject) \
         - spin_damping * dq * jnp.concatenate(
             [jnp.zeros(6, q.dtype), jnp.ones(48, q.dtype)])
-    return jnp.linalg.solve(M, rhs)
+    # M is SPD: Cholesky (the axon TPU backend lacks f64 LU)
+    L = jnp.linalg.cholesky(M)
+    return jax.scipy.linalg.cho_solve((L, True), rhs)
 
 
 def simulate(subject: SubjectParams, q0: np.ndarray, dq0: np.ndarray,

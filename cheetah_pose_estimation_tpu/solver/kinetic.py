@@ -167,7 +167,9 @@ class KineticFTE:
         rhs = we * (A.T @ lhs_eff)
         if tau_anchor_t is not None:
             rhs = rhs.at[:dyn.N_TAU].add(wa * tau_anchor_t)
-        z = jnp.linalg.solve(AtA, rhs)
+        # SPD system: Cholesky (the axon TPU backend lacks f64 LU)
+        L = jnp.linalg.cholesky(AtA)
+        z = jax.scipy.linalg.cho_solve((L, True), rhs)
         tau = z[:dyn.N_TAU]
         g = z[dyn.N_TAU:]
         # projection: GRF nonnegative, friction polyhedron
