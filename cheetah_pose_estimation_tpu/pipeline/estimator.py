@@ -497,11 +497,24 @@ def determine_contacts(est: CheetahEstimator, monocular: bool = False,
     return contacts, contacts_tmp
 
 
+def reset_trajectory(est: CheetahEstimator, extend_by: int = 0):
+    """Re-window the trial, optionally extending the frame range (reference
+    reset_pyomo_model(extend_by=...), acinoset_opt.py:40-69): rebuilds the
+    measurement tensors from the already-loaded DLC tables."""
+    if extend_by:
+        est.params.end_frame += extend_by
+        est.params.total_length = est.params.end_frame \
+            - est.params.start_frame
+    _load_measurements(est)
+    return est
+
+
 def estimate_kinetics(est: CheetahEstimator,
                       joint_estimation: bool = True,
                       synthesised_grf: bool = False,
                       ground_constraint: bool = False,
                       disable_pose_prior: bool = False,
+                      use_2d_reprojections: bool = True,
                       out_fname: str = "fte",
                       out_dir_prefix: Optional[str] = None,
                       solver_output: bool = False,
@@ -544,6 +557,10 @@ def estimate_kinetics(est: CheetahEstimator,
         use_fixed = 0.0
     use_gmm = (not disable_pose_prior) and monocular
     data = est.data
+    if not use_2d_reprojections:
+        # 3D tracking mode: no reprojection term (reference
+        # estimate_kinetics(use_2d_reprojections=False))
+        data = data._replace(weight=jnp.zeros_like(data.weight))
     if use_gmm:
         from ..priors import dataset as ds
         df = ds.load_pose_dataset(DATA_DRIVEN_DATASET)
@@ -558,6 +575,7 @@ def estimate_kinetics(est: CheetahEstimator,
     cfg = kn.KineticConfig(
         fisheye=not p.kinetic_dataset, robust=not p.hand_labeled_data,
         use_gmm=use_gmm, kinetic_dataset=p.kinetic_dataset,
+        use_2d_reprojections=use_2d_reprojections,
         foot_height_bound=0.03 if p.kinetic_dataset else 0.1,
         cam_multipliers=(1.0, 1.0, 0.6, 0.6) if p.kinetic_dataset else ())
     fte = kn.KineticFTE(cfg, est.subject)

@@ -80,6 +80,10 @@ class KineticConfig:
     foot_height_bound: float = 0.1   # 0.03 kinetic dataset
     friction_coeff: float = 0.8
     cam_multipliers: Tuple[float, ...] = ()
+    # reference estimate_kinetics(use_2d_reprojections=False): replace the
+    # reprojection term with a weighted 3D tracking cost against the
+    # kinematic warm start (kinematic_cost, acinoset_misc.py:531-598)
+    use_2d_reprojections: bool = True
 
 
 class KineticFTE:
@@ -257,6 +261,16 @@ class KineticFTE:
             (fv[1:, None] * data.stance[1:]) * sviol * sviol)
         return height_pen + slip_pen
 
+    def _track_cost(self, q: jnp.ndarray, data: KineticData) -> jnp.ndarray:
+        """Weighted 3D tracking of the kinematic warm start over relative
+        angles (reference kinematic_cost, acinoset_misc.py:531-598) — used
+        when 2D reprojections are disabled."""
+        from ..models import noise as noise_tables
+        A = jnp.asarray(sk._A_REL_FULL, q.dtype)
+        M = jnp.asarray(noise_tables.KINEMATIC_M, q.dtype)
+        r = jnp.einsum("ij,tj->ti", A, q - data.q_warm)
+        return jnp.sum(data.base.frame_valid[:, None] * M[None, :] * r * r)
+
     def _cost(self, q: jnp.ndarray, data: KineticData,
               loss_scale: jnp.ndarray = 1.0) -> jnp.ndarray:
         base_cost = self._kin._cost(q, data.base, loss_scale)
@@ -265,9 +279,15 @@ class KineticFTE:
         acc = kin.acc_cost(q, data.base.h, data.base.acc_weight,
                            data.base.frame_valid)
         eom_cost, torque_cost, _ = self._physics_costs(q, data)
-        smooth = self._smooth_cost(q, data)
         pen = self._stance_penalties(q, data)
-        return base_cost - acc + eom_cost + torque_cost + smooth + pen
+        if self.config.use_2d_reprojections:
+            extra = self._smooth_cost(q, data)
+        else:
+            # tracking mode: caller supplies zeroed measurement weights;
+            # the marker-smoothing energy is replaced by the torque prior
+            # already present (reference acinoset_opt.py:911-913)
+            extra = self._track_cost(q, data)
+        return base_cost - acc + eom_cost + torque_cost + extra + pen
 
     def objective(self, q, data) -> float:
         """Reference-scaled objective 1e-3*(meas + pose + prior + 1e4 slack)."""
@@ -336,6 +356,15 @@ class KineticFTE:
         fps = 1.0 / h
         smooth_diag = 6.0 * cfg.smooth_weight_scale * (fps ** 2)
         Hdiag = Hdiag + smooth_diag * jnp.eye(NQ, dtype=dtype)[None]
+
+        if not cfg.use_2d_reprojections:
+            from ..models import noise as noise_tables
+            A54 = jnp.asarray(sk._A_REL_FULL, dtype)
+            Mw = jnp.asarray(noise_tables.KINEMATIC_M, dtype)
+            Htrack = 2.0 * jnp.einsum("ia,i,ib->ab", A54, Mw, A54)
+            g = g + jax.grad(lambda qq: self._track_cost(qq, data))(q)
+            Hdiag = Hdiag + data.base.frame_valid[:, None, None] \
+                * Htrack[None]
 
         return g, banded.BlockBanded(diag=Hdiag, lower=Hlower)
 
