@@ -25,10 +25,25 @@ from ..models import skeleton as sk
 # 2D reprojection metrics (reference results.py:1458-1605)
 # ---------------------------------------------------------------------------
 
+def kinematic_error(q: np.ndarray, q_ref: np.ndarray) -> Dict[str, float]:
+    """Base / relative-joint RMSE between two q-trajectories (reference
+    ``joint_error``/``kinematic_error``, acinoset_opt.py:375-386)."""
+    q, q_ref = np.asarray(q), np.asarray(q_ref)
+    n = min(len(q), len(q_ref))
+    base = float(np.sqrt(np.mean((q[:n, :6] - q_ref[:n, :6])**2)))
+    rel = float(np.sqrt(np.mean((q[:n, 6:] - q_ref[:n, 6:])**2)))
+    return {"base_rmse": base, "relative_rmse": rel}
+
+
 def reprojection_errors(fte_dir: str, hand_labeled_dir: str,
                         out_fname: str = "fte",
-                        dlc_thresh: float = 0.5) -> Dict[str, float]:
-    """Pixel error stats of saved cam*_fte reprojections vs hand labels."""
+                        dlc_thresh: float = 0.5,
+                        save_artifacts: bool = False) -> Dict[str, float]:
+    """Pixel error stats of saved cam*_fte reprojections vs hand labels.
+
+    With ``save_artifacts`` the per-point errors are persisted as
+    ``reprojection.pickle`` / ``reprojection_results.csv`` in fte_dir
+    (reference metrics(), results.py:1458-1551)."""
     errs = []
     import glob as _glob
     for cam_path in sorted(_glob.glob(os.path.join(
@@ -55,8 +70,15 @@ def reprojection_errors(fte_dir: str, hand_labeled_dir: str,
     errs = np.asarray(errs)
     if errs.size == 0:
         return {"mean_px": float("nan"), "median_px": float("nan"), "n": 0}
-    return {"mean_px": float(errs.mean()), "median_px": float(
+    out = {"mean_px": float(errs.mean()), "median_px": float(
         np.median(errs)), "std_px": float(errs.std()), "n": int(errs.size)}
+    if save_artifacts:
+        import pickle as _pickle
+        with open(os.path.join(fte_dir, "reprojection.pickle"), "wb") as f:
+            _pickle.dump({"errors_px": errs, **out}, f)
+        pd.DataFrame([out]).to_csv(
+            os.path.join(fte_dir, "reprojection_results.csv"), index=False)
+    return out
 
 
 # ---------------------------------------------------------------------------
