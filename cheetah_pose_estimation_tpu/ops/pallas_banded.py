@@ -29,9 +29,6 @@ D = 64          # padded block size (TPU lane-friendly)
 BW = 3          # bandwidth
 
 
-_ROW = None  # built lazily inside traces
-
-
 def _row_ids(dtype=jnp.int32):
     return jax.lax.broadcasted_iota(dtype, (D, D), 0)
 
@@ -46,7 +43,6 @@ def _chol64(a):
     Mosaic has no value-level dynamic_slice, so column extraction/update use
     broadcasted-iota masks (full-tile VPU ops per step; 64 steps).
     """
-    rows = _row_ids()
     cols = _col_ids()
 
     def col_step(j, carry):
@@ -69,10 +65,9 @@ def _trsm_lower(l, b):
     """Solve L X = B (L lower-triangular 64x64, B (64, K)): masked forward
     substitution."""
     rowvec = jax.lax.broadcasted_iota(jnp.int32, (D,), 0)
-    rows = _row_ids()
 
     def row_step(i, x):
-        rmask = (rows == i).astype(l.dtype)                  # (D, D)
+        rmask = (_row_ids() == i).astype(l.dtype)            # (D, D)
         li = jnp.sum(l * rmask, axis=0)                      # (D,) = L[i, :]
         lii = jnp.sum(jnp.where(rowvec == i, li, 0.0))
         acc = jnp.dot(li[None, :], x,
