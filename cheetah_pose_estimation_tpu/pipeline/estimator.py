@@ -124,6 +124,20 @@ class CheetahEstimator:
     def scale_forces_by(self) -> float:
         return self.subject.total_mass * 9.81
 
+    def load(self, fte_name: str, out_dir_prefix: Optional[str] = None):
+        """Load a previously saved solution's state (reference
+        CheetahEstimator.load, acinoset_opt.py:272-276 — which restores the
+        pyomo variable pickle; here the q-trajectory in fte.pickle IS the
+        full state)."""
+        base = (os.path.join(out_dir_prefix, self.data_path)
+                if out_dir_prefix else self.params.data_dir)
+        d = dio.load_fte_pickle(os.path.join(base, fte_name, "fte.pickle"))
+        self.q = np.asarray(d["q"])
+        self.com_pos = d.get("com_pos")
+        self.com_vel = d.get("com_vel")
+        self.obj_cost = d.get("obj_cost")
+        return d
+
     # -- derived state -------------------------------------------------------
     def derivatives(self):
         """Reconstruct the eliminated implicit-Euler collocation variables

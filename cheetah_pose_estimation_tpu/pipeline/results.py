@@ -249,6 +249,77 @@ def contact_detection_analysis(pred: Dict, labeled: Dict,
             "f1": float(f1), "tp": int(tp), "fp": int(fp), "fn": int(fn)}
 
 
+def determine_dlc_performance(dlc_dir: str, hand_labeled_dir: str,
+                              dlc_thresh: float = 0.5) -> Dict[str, float]:
+    """DLC-vs-hand-label pixel statistics (reference results.py:420-479)."""
+    from ..data.io import load_dlc_points
+
+    xy_p, lik_p, _ = load_dlc_points(dlc_dir)
+    xy_g, lik_g, _ = load_dlc_points(hand_labeled_dir)
+    n = min(len(xy_p), len(xy_g))
+    pred = np.where((lik_p[:n] > dlc_thresh)[..., None], xy_p[:n], np.nan)
+    gt = np.where((lik_g[:n] > 0)[..., None], xy_g[:n], np.nan)
+    resid = (gt - pred).reshape(-1)
+    resid = resid[np.isfinite(resid)]
+    if resid.size == 0:
+        return {"rmse_px": float("nan"), "n": 0}
+    return {"rmse_px": float(np.sqrt(np.mean(resid**2))),
+            "mad_px": float(np.median(np.abs(resid - np.median(resid)))),
+            "mean_px": float(resid.mean()), "std_px": float(resid.std()),
+            "n": int(resid.size)}
+
+
+def plot_cost_functions(out_path: str):
+    """Robust-loss shape comparison (reference results.py:34-53)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..ops import losses
+    import jax.numpy as jnp
+    e = jnp.linspace(0, 30, 600)
+    fig = plt.figure(figsize=(10, 6), dpi=60)
+    plt.plot(e, np.asarray(losses.redescending(e)), label="redescending")
+    plt.plot(e, np.asarray(losses.cauchy(e, 7.0)), label="cauchy c=7")
+    plt.plot(e, np.asarray(losses.fair(e, 7.0)), label="fair c=7")
+    plt.plot(e, np.asarray(0.5 * e * e), label="quadratic", ls="--")
+    plt.ylim(0, 80)
+    plt.xlabel("weighted residual")
+    plt.ylabel("cost")
+    plt.legend()
+    fig.savefig(out_path, bbox_inches="tight")
+    plt.close(fig)
+
+
+def plot_eom_error(fte_pickle_path: str, subject, out_path: str):
+    """Per-frame EOM residual norm of a saved solution (reference
+    results.py:871-888)."""
+    import jax.numpy as jnp
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..data.io import load_fte_pickle
+    from ..dynamics import eom as dyn
+
+    d = load_fte_pickle(fte_pickle_path)
+    scale = subject.total_mass * dyn.GRAVITY
+    res = []
+    for t in range(2, d["q"].shape[0]):
+        r = np.asarray(dyn.eom_residual(
+            jnp.asarray(d["q"][t]), jnp.asarray(d["dq"][t]),
+            jnp.asarray(d["ddq"][t]), jnp.zeros(4), jnp.zeros((4, 4)),
+            subject)) / scale
+        res.append(np.linalg.norm(r))
+    fig = plt.figure(figsize=(10, 5), dpi=60)
+    plt.plot(res)
+    plt.xlabel("frame")
+    plt.ylabel("|EOM residual| (body-weight units, zero contact)")
+    fig.savefig(out_path, bbox_inches="tight")
+    plt.close(fig)
+    return np.asarray(res)
+
+
 # ---------------------------------------------------------------------------
 # plots
 # ---------------------------------------------------------------------------

@@ -284,6 +284,45 @@ def distance_from_camera(data_path: str, com_pos: np.ndarray, cam_idx: int):
     return dist, angles
 
 
+def run_acinoset(root_dir: str, dir_prefix: str,
+                 modes: Tuple[str, ...] = ("ground-truth", "default",
+                                           "data-driven"),
+                 enable_ppm_for_flicks: bool = True,
+                 verbose: bool = False) -> List[str]:
+    """Batch over every AcinoSet-style trial directory under root_dir
+    (reference run_acinoset, run_dataset.py:1234-1331: it reads a curated
+    test_set.pickle with manual frame ranges, which is not distributed —
+    here any directory with metadata.json + dlc/ is processed; PPMs are
+    enabled for 'flick' trials as the reference does)."""
+    import glob as _glob
+    done = []
+    for meta in sorted(_glob.glob(os.path.join(root_dir, "**",
+                                               "metadata.json"),
+                                  recursive=True)):
+        trial_dir = os.path.dirname(meta)
+        if not os.path.isdir(os.path.join(trial_dir, "dlc")):
+            continue
+        data_path = os.path.relpath(trial_dir, root_dir)
+        cheetah = next((n for n in ("jules", "phantom", "shiraz", "arabia")
+                        if n in data_path), "acinoset")
+        is_flick = "flick" in data_path
+        use_ppm = (enable_ppm_for_flicks and is_flick and os.path.isdir(
+            os.path.join(trial_dir, "dlc_pw")))
+        try:
+            for mode in modes:
+                est = est_mod.init_trajectory(
+                    root_dir, data_path, cheetah, kinematic_model=True,
+                    monocular_enable=mode != "ground-truth",
+                    enable_ppm=use_ppm)
+                est_mod.estimate_kinematics(
+                    est, monocular_constraints=mode == "data-driven",
+                    out_dir_prefix=dir_prefix, solver_output=verbose)
+            done.append(data_path)
+        except (FileNotFoundError, AssertionError) as e:
+            print(f"skip {data_path}: {e}")
+    return done
+
+
 def run_monocular_all(root_dir: str, dir_prefix: str,
                       test_set: Tuple = TEST_SET,
                       modes: Tuple[str, ...] = ("default", "data-driven"),

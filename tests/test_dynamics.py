@@ -134,6 +134,51 @@ def test_torque_map_structure():
     np.testing.assert_allclose(tm.B.sum(axis=0), 0.0, atol=1e-12)
 
 
+def test_eom_matches_reference_solution_in_flight():
+    """Cross-validation against the reference's own physics-based solution:
+    evaluating OUR EOM on the shipped fte_kinetic (q, dq, ddq, tau) must give
+    near-zero residuals during flight phases (the reference solved its EOM to
+    small slack there; stance frames carry the un-modeled GRF). This pins
+    down the dynamics formulation including the torque-map conventions."""
+    import json
+    import pickle
+    import os
+    import jax.numpy as jnp
+
+    trial = "/root/reference/data/test_set/2019_03_07/phantom/run"
+    if not os.path.isdir(trial):
+        pytest.skip("reference test_set missing")
+    d = pickle.load(open(os.path.join(trial, "fte_kinetic_1",
+                                      "fte.pickle"), "rb"))
+    cj = json.load(open(os.path.join(trial, "grf", "autogen-contact.json")))
+    subject = P.get_subject("phantom")
+    scale = subject.total_mass * E.GRAVITY
+    N = d["q"].shape[0]
+    stance = np.zeros(N, bool)
+    for seqs in cj["contacts"].values():
+        if seqs is None:
+            continue
+        for s, e_, *_ in seqs:
+            stance[max(s - cj["start_frame"], 0):
+                   min(e_ - cj["start_frame"] + 1, N)] = True
+    tau = np.zeros((N, 22))
+    for col, name in enumerate(E.TORQUE_MAP.names):
+        motor = name.rsplit(":", 1)[0]
+        idx = [n for n in E.TORQUE_MAP.names
+               if n.startswith(motor + ":")].index(name)
+        tau[:, col] = d["tau"][motor][:, idx]
+    flight, stance_r = [], []
+    for t in range(3, N - 1):
+        tg = E.torque_generalized_forces(jnp.asarray(tau[t]), scale)
+        r = np.asarray(E.eom_residual(
+            jnp.asarray(d["q"][t]), jnp.asarray(d["dq"][t]),
+            jnp.asarray(d["ddq"][t]), jnp.zeros(4), jnp.zeros((4, 4)),
+            subject, tau_forces=tg)) / scale
+        (stance_r if stance[t] else flight).append(np.abs(r).max())
+    assert np.mean(flight) < 0.15, np.mean(flight)      # ~their slack level
+    assert np.mean(stance_r) > 5 * np.mean(flight)      # GRF dominates
+
+
 def test_eom_residual_zero_for_static_equilibrium_direction():
     """At rest, residual = G - B; with GRF canceling gravity the base-z row
     vanishes."""
