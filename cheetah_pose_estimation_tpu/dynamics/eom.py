@@ -92,22 +92,51 @@ def potential_energy(q: jnp.ndarray, subject: SubjectParams) -> jnp.ndarray:
     return GRAVITY * jnp.sum(m * com[..., 2])
 
 
-def mass_matrix(q: jnp.ndarray, subject: SubjectParams) -> jnp.ndarray:
-    """M(q) = d^2 KE / ddq^2, (54, 54)."""
+def mass_matrix_ad(q: jnp.ndarray, subject: SubjectParams) -> jnp.ndarray:
+    """M(q) = d^2 KE / ddq^2 by nested autodiff (reference cross-check)."""
     ke_dq = jax.grad(kinetic_energy, argnums=1)
     return jax.jacfwd(ke_dq, argnums=1)(q, jnp.zeros_like(q), subject)
 
 
+def _omega_selector(q: jnp.ndarray) -> jnp.ndarray:
+    """(17, 3, 54) map W with omega_body_l = W_l @ dq."""
+    ang = sk._angles_from_q(q)
+    E = euler_rate_to_body_omega(ang)        # (17, 3, 3)
+    W = jnp.zeros((N_LINKS, 3, NQ), q.dtype)
+    W = W.at[0, :, 3:6].set(E[0])
+    for l in range(1, N_LINKS):
+        W = W.at[l, :, 3 * l + 3:3 * l + 6].set(E[l])
+    return W
+
+
+def mass_matrix(q: jnp.ndarray, subject: SubjectParams) -> jnp.ndarray:
+    """M(q) in closed form: link CoMs are linear in the rotations, so
+    M = sum_l m_l J_l^T J_l + W_l^T I_l W_l with analytic Jacobians
+    (matches the nested-autodiff construction to machine precision, ~10x
+    cheaper — the kinetic solver evaluates this per frame per iteration)."""
+    m = jnp.asarray(subject.mass, q.dtype)
+    _, J = sk.com_and_jacobian(q, subject)   # (17, 3, 54)
+    W = _omega_selector(q)
+    I_b = jnp.asarray(_inertia_body(subject), q.dtype)
+    M = jnp.einsum("l,lik,lij->kj", m, J, J) \
+        + jnp.einsum("lik,li,lij->kj", W, I_b, W)
+    return M
+
+
 def bias_terms(q: jnp.ndarray, dq: jnp.ndarray,
                subject: SubjectParams) -> jnp.ndarray:
-    """C(q, dq) + G(q): velocity products + gravity, (54,)."""
-    p_fn = lambda qq, dqq: jax.grad(kinetic_energy, argnums=1)(qq, dqq,
-                                                              subject)
-    # dp/dq . dq  via jvp in q
-    _, dp_dq_dq = jax.jvp(lambda qq: p_fn(qq, dq), (q,), (dq,))
-    dke_dq = jax.grad(kinetic_energy, argnums=0)(q, dq, subject)
-    dpe_dq = jax.grad(potential_energy, argnums=0)(q, subject)
-    return dp_dq_dq - dke_dq + dpe_dq
+    """C(q, dq) + G(q): velocity products + gravity, (54,).
+
+    C = Mdot dq - 1/2 d(dq^T M dq)/dq with Mdot = jvp of the analytic M
+    along dq; G = g sum_l m_l J_l[2, :].
+    """
+    _, Mdot = jax.jvp(lambda qq: mass_matrix(qq, subject), (q,), (dq,))
+    dke_dq = 0.5 * jax.grad(
+        lambda qq: dq @ mass_matrix(qq, subject) @ dq)(q)
+    m = jnp.asarray(subject.mass, q.dtype)
+    _, J = sk.com_and_jacobian(q, subject)
+    G = GRAVITY * jnp.einsum("l,lk->k", m, J[:, 2, :])
+    return Mdot @ dq - dke_dq + G
 
 
 def foot_points(q: jnp.ndarray, subject: SubjectParams) -> jnp.ndarray:

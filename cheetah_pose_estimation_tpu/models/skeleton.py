@@ -265,6 +265,45 @@ def fk_markers_linear(q: jnp.ndarray, params: SubjectParams) -> jnp.ndarray:
     return pts + q[..., None, 0:3]
 
 
+_COM_COEF_CACHE = {}
+
+
+def com_coefficients(params: SubjectParams) -> np.ndarray:
+    """(17, 17, 3): c^com with com_l(q) = q[0:3] + sum_k R_k(q) c^com[k, l]
+    (link centres are linear in the rotations, like the markers)."""
+    key = params.name
+    if key in _COM_COEF_CACHE:
+        return _COM_COEF_CACHE[key]
+
+    def coms_of_R(R_flat):
+        R = R_flat.reshape(N_LINKS, 3, 3)
+        return _frames_from_R(jnp.zeros(NQ), R, params).com.reshape(-1)
+
+    with jax.ensure_compile_time_eval():
+        eye = jnp.broadcast_to(jnp.eye(3), (N_LINKS, 3, 3)).reshape(-1)
+        J = np.asarray(jax.jacfwd(coms_of_R)(eye)).reshape(
+            N_LINKS, 3, N_LINKS, 3, 3)
+    C = np.einsum("likij->klj", J) / 3.0
+    _COM_COEF_CACHE[key] = C
+    return C
+
+
+def com_and_jacobian(q: jnp.ndarray, params: SubjectParams):
+    """Closed-form (link coms (17, 3), J (17, 3, 54)) for one frame."""
+    C = jnp.asarray(com_coefficients(params), q.dtype)  # (k, l, 3)
+    ang = _angles_from_q(q)
+    R = euler_zyx(ang)                                   # (17, 3, 3)
+    coms = jnp.einsum("kij,klj->li", R, C) + q[None, 0:3]
+    dR = jax.vmap(jax.jacfwd(euler_zyx))(ang)            # (17, 3, 3, a)
+    J_ang = jnp.einsum("kija,klj->lika", dR, C)          # (l, 3, k, a)
+    J = jnp.zeros((N_LINKS, 3, NQ), q.dtype)
+    J = J.at[:, :, 0:3].set(jnp.broadcast_to(jnp.eye(3, dtype=q.dtype),
+                                             (N_LINKS, 3, 3)))
+    J = J.at[:, :, 3:6].set(J_ang[:, :, 0])
+    J = J.at[:, :, 6:].set(J_ang[:, :, 1:].reshape(N_LINKS, 3, NQ - 6))
+    return coms, J
+
+
 def fk_markers_and_jacobian(q: jnp.ndarray, params: SubjectParams):
     """Closed-form (markers (24, 3), J (24, 3, 54)) for a single frame.
 
