@@ -304,6 +304,46 @@ def com_and_jacobian(q: jnp.ndarray, params: SubjectParams):
     return coms, J
 
 
+_BOTTOM_COEF_CACHE = {}
+
+
+def bottom_coefficients(params: SubjectParams) -> np.ndarray:
+    """(17, 17, 3): link BOTTOM end points as linear functions of the
+    rotations (foot contact points are leg-hock bottoms)."""
+    key = params.name
+    if key in _BOTTOM_COEF_CACHE:
+        return _BOTTOM_COEF_CACHE[key]
+
+    def bottoms_of_R(R_flat):
+        R = R_flat.reshape(N_LINKS, 3, 3)
+        return _frames_from_R(jnp.zeros(NQ), R, params).bottom.reshape(-1)
+
+    with jax.ensure_compile_time_eval():
+        eye = jnp.broadcast_to(jnp.eye(3), (N_LINKS, 3, 3)).reshape(-1)
+        J = np.asarray(jax.jacfwd(bottoms_of_R)(eye)).reshape(
+            N_LINKS, 3, N_LINKS, 3, 3)
+    C = np.einsum("likij->klj", J) / 3.0
+    _BOTTOM_COEF_CACHE[key] = C
+    return C
+
+
+def points_and_jacobian_from_coeffs(q: jnp.ndarray, C: jnp.ndarray):
+    """Generic linear-in-R point set: positions (L, 3) + Jacobian (L, 3, 54)
+    for coefficient tensor C (17, L, 3)."""
+    ang = _angles_from_q(q)
+    R = euler_zyx(ang)
+    pts = jnp.einsum("kij,klj->li", R, C) + q[None, 0:3]
+    dR = jax.vmap(jax.jacfwd(euler_zyx))(ang)
+    J_ang = jnp.einsum("kija,klj->lika", dR, C)
+    L = C.shape[1]
+    J = jnp.zeros((L, 3, NQ), q.dtype)
+    J = J.at[:, :, 0:3].set(jnp.broadcast_to(jnp.eye(3, dtype=q.dtype),
+                                             (L, 3, 3)))
+    J = J.at[:, :, 3:6].set(J_ang[:, :, 0])
+    J = J.at[:, :, 6:].set(J_ang[:, :, 1:].reshape(L, 3, NQ - 6))
+    return pts, J
+
+
 def fk_markers_and_jacobian(q: jnp.ndarray, params: SubjectParams):
     """Closed-form (markers (24, 3), J (24, 3, 54)) for a single frame.
 

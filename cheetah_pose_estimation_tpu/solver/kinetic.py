@@ -118,19 +118,19 @@ class KineticFTE:
     # ------------------------------------------------------------------
     def _force_columns(self, q_t: jnp.ndarray) -> jnp.ndarray:
         """(54, 20) generalized-force columns of [GRFz(4); GRFxy(16)] in
-        body-weight units (already includes force_scale / scale division:
-        the EOM residual is expressed in body-weight units)."""
+        body-weight units: J_foot^T e_z per foot and J_foot^T D_i per
+        polygon direction, with the closed-form foot-point Jacobian (feet
+        are linear in the rotations like every other attachment point)."""
         dtype = q_t.dtype
-
-        def wrench(z, xy):
-            return dyn.grf_generalized_forces(
-                q_t, z, xy, self.subject, self.force_scale) / self.force_scale
-
-        cols_z = jax.jacfwd(lambda z: wrench(z, jnp.zeros((4, 4), dtype)))(
-            jnp.zeros(4, dtype))                              # (54, 4)
-        cols_xy = jax.jacfwd(
-            lambda xy: wrench(jnp.zeros(4, dtype), xy))(
-                jnp.zeros((4, 4), dtype)).reshape(NQ, 16)     # (54, 16)
+        C_all = jnp.asarray(sk.bottom_coefficients(self.subject), dtype)
+        idx = [sk.LINK_INDEX[n] for n in dyn.FEET_LINKS]
+        _, Jf = sk.points_and_jacobian_from_coeffs(q_t, C_all[:, idx, :])
+        # cols for GRFz: J_f^T e_z ; for GRFxy: J_f^T D_i  (unit force in
+        # body-weight units after the scale cancellation)
+        ez = jnp.asarray([0.0, 0.0, 1.0], dtype)
+        cols_z = jnp.einsum("fik,i->kf", Jf, ez)              # (54, 4)
+        D = jnp.asarray(dyn.POLYGON_D, dtype)                 # (4dir, 3)
+        cols_xy = jnp.einsum("fik,di->kfd", Jf, D).reshape(NQ, 16)
         return jnp.concatenate([cols_z, cols_xy], axis=1)
 
     def _frame_eom_terms(self, q3: jnp.ndarray, data: KineticData,
