@@ -188,8 +188,18 @@ class CheetahEstimator:
             com_vel=com_vel, tau=tau_dict, meas_err=meas_err,
             obj_cost=self.obj_cost, processing_time_s=self.opt_time_s,
             start_frame=self.params.start_frame)
+        # per-camera shutter-delay correction of the reprojected positions
+        # (reference acinoset_opt.py:343-352)
+        positions_arr = []
+        for c in range(self.scene.n_cams):
+            if self.shutter_delay is not None:
+                tau_c = float(self.shutter_delay[c])
+                shift = dq[:, :3] * tau_c + ddq[:, :3] * tau_c**2
+                positions_arr.append(positions + shift[:, None, :])
+            else:
+                positions_arr.append(positions)
         dio.save_3d_cheetah_as_2d(
-            [positions] * self.scene.n_cams, out_dir, self.scene.k_arr,
+            positions_arr, out_dir, self.scene.k_arr,
             self.scene.d_arr, self.scene.r_arr, self.scene.t_arr,
             self.scene.cam_res,
             lambda X, k, d, r, t: np.asarray(proj_fn(jnp.asarray(X), k, d,
