@@ -55,9 +55,12 @@ def run_monocular_batched(root_dir: str, dir_prefix: str,
                           modes: Sequence[str] = ("ground-truth", "default",
                                                   "data-driven"),
                           data_driven_dataset: Optional[str] = None,
-                          dtype=jnp.float64,
+                          dtype=jnp.float32,
                           mesh: Optional[object] = None,
                           verbose: bool = True) -> Dict[str, float]:
+    # float32 is the throughput configuration: the kinematic solver is
+    # quality-equivalent in f32 (solver-wide full-precision matmuls), while
+    # f64 on TPU runs through emulation ~10x slower.
     """Solve every (mode, trial) with one vmapped run per (mode, subject)
     group. Returns per-mode wall times."""
     timings: Dict[str, float] = {}
