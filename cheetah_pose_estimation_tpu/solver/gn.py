@@ -160,10 +160,17 @@ def lm_solve_annealed(cost_fn: Callable, normal_fn: Callable,
         s = s._replace(cost=cost, done=done, lam=lam, nu=nu)
         ns = _lm_step(s, lambda q: cost_fn(q, scale),
                       lambda q: normal_fn(q, scale), config)
-        # a stage that converged early fast-forwards to its boundary so the
-        # next iteration enters the next stage
+        # a stage that converged (or stalled) early fast-forwards to its
+        # boundary so the next iteration enters the next stage; `done` must
+        # be cleared with it, otherwise the loop condition would read
+        # it >= last_stage_start && done and exit before the next stage runs
         ff = jnp.logical_and(ns.done, idx < n_stages - 1)
-        ns = ns._replace(it=jnp.where(ff, bounds[idx], ns.it))
+        ns = ns._replace(it=jnp.where(ff, bounds[idx], ns.it),
+                         done=jnp.logical_and(ns.done,
+                                              jnp.logical_not(ff)),
+                         lam=jnp.where(ff, jnp.asarray(config.lam0,
+                                                       ns.lam.dtype),
+                                       ns.lam))
         return (ns, scale)
 
     final, _ = jax.lax.while_loop(cond, body, state)
