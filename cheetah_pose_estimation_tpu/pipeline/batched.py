@@ -56,6 +56,7 @@ def run_monocular_batched(root_dir: str, dir_prefix: str,
                                                   "data-driven"),
                           data_driven_dataset: Optional[str] = None,
                           dtype=jnp.float32,
+                          motion_prior_rolling: int = 0,
                           mesh: Optional[object] = None,
                           verbose: bool = True) -> Dict[str, float]:
     # float32 is the throughput configuration: the kinematic solver is
@@ -78,7 +79,7 @@ def run_monocular_batched(root_dir: str, dir_prefix: str,
         for subject_name, ests in groups.items():
             subject = params_mod.get_subject(subject_name)
             use_priors = mode == "data-driven"
-            datas, q0s = [], []
+            datas, q0s, mms = [], [], []
             for est in ests:
                 data = est.data
                 if use_priors:
@@ -91,6 +92,7 @@ def run_monocular_batched(root_dir: str, dir_prefix: str,
                     mm = armodel.train_motion_model(
                         dset, window_size=4, lasso=True,
                         cache_dir=os.path.dirname(dset))
+                    mms.append(mm)
                     x_init = np.asarray(sk.relative_pose(est.q0))
                     y_pred, valid = armodel.anchor_predictions(mm, x_init)
                     data = data._replace(
@@ -114,7 +116,24 @@ def run_monocular_batched(root_dir: str, dir_prefix: str,
                 use_ar=use_priors)
             fte = kin.KinematicFTE(cfg, subject)
             run = fte.make_solver()
-            state = jax.jit(jax.vmap(run))(q0b, batched)
+            vrun = jax.jit(jax.vmap(run))
+            state = vrun(q0b, batched)
+            if use_priors and motion_prior_rolling > 0:
+                # lagged true-AR refinement: recompute the anchor
+                # predictions from the current solutions and re-solve
+                for _ in range(motion_prior_rolling):
+                    ypreds, valids = [], []
+                    fv = np.asarray(batched.frame_valid)
+                    for i, est in enumerate(ests):
+                        x_cur = np.asarray(sk.relative_pose(
+                            np.asarray(state.q[i], np.float64)))
+                        yp, vl = armodel.anchor_predictions(mms[i], x_cur)
+                        ypreds.append(yp)
+                        valids.append(vl * fv[i])
+                    batched = batched._replace(ar=batched.ar._replace(
+                        y_pred=jnp.asarray(np.stack(ypreds), dtype),
+                        valid=jnp.asarray(np.stack(valids), dtype)))
+                    state = vrun(state.q, batched)
             qs = np.asarray(state.q, np.float64)
             for i, est in enumerate(ests):
                 n = est.data.meas.shape[0]
