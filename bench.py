@@ -1,89 +1,135 @@
 #!/usr/bin/env python
-"""Benchmark: batched full-trial monocular kinematic reconstruction.
+"""Benchmark: batched full monocular reconstruction pipeline on one chip.
 
-Baseline (BASELINE.md): the reference solves one monocular default-mode trial
-in 20.9 s on CPU (IPOPT + MA97, mean over the 10-trial AcinoSet test set).
-Here all 10 trials are padded, stacked, and solved as ONE vmapped batch on the
-accelerator (float32, graduated-non-convexity LM over the block-banded normal
-equations). Prints a single JSON line:
+Baseline (BASELINE.md, data/test_set/dataset_results.csv): per trial the
+reference spends 20.9 s (default kinematic) + 725.6 s (physics-based) of
+IPOPT+MA97 CPU time — 746.5 s/trial for the monocular pipeline. Here the 10
+test trials are padded, stacked, and each stage solves as ONE vmapped batch
+on the accelerator (float32 throughout — every factorization is
+Jacobi-equilibrated): default kinematic FTE -> host-side contact detection ->
+physics-based FTE with per-frame torque/GRF elimination. Prints a single
+JSON line:
 
   {"metric": ..., "value": trials/min, "unit": "trials/min", "vs_baseline": x}
 
-vs_baseline is the throughput ratio against the reference's 60/20.9 = 2.87
-trials/min.
+vs_baseline is the throughput ratio against the reference's
+60 / 746.5 = 0.0804 trials/min. If the physics stage fails on the current
+backend the script falls back to the kinematic-only metric (vs 20.9 s).
 """
 import json
 import sys
 import time
+import traceback
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-BASELINE_S_PER_TRIAL = 20.9
+BASELINE_DEFAULT_S = 20.9
+BASELINE_PHYSICS_S = 725.6
 
 
 def main():
+    from cheetah_pose_estimation_tpu.models import skeleton as sk
+    from cheetah_pose_estimation_tpu.parallel import batch as pbatch
     from cheetah_pose_estimation_tpu.pipeline import bench_lib
     from cheetah_pose_estimation_tpu.solver import kinematic as kin
+    from cheetah_pose_estimation_tpu.solver import kinetic as kn
 
     dev = jax.devices()[0]
     print(f"# device: {dev.platform} {getattr(dev, 'device_kind', '')}",
           file=sys.stderr)
 
-    # production batching: the 10 unique test trials tiled to a batch of 80
-    # (per-iteration time is dispatch-bound, so larger batches amortize it
-    # and the while-loop stragglers; quality is evaluated on the uniques)
-    batched, q0b, trials, subject = bench_lib.build_batch(
-        n_frames=64, dtype=jnp.float32, repeat_to=80)
+    dtype = jnp.float32
+    n_frames = 64
+    trajs = bench_lib.load_reference_trajectories(10)
+    from cheetah_pose_estimation_tpu.models import params as P
+    subject = P.get_subject("acinoset")
+    datas, q0s, trials, fpss = [], [], [], []
+    for i, (q_gt, name, fps) in enumerate(trajs):
+        d, q0, tr = bench_lib.build_monocular_problem(q_gt, "acinoset", fps,
+                                                      seed=i)
+        datas.append(d)
+        q0s.append(q0)
+        trials.append(tr)
+        fpss.append(fps)
+    batched, q0b = pbatch.pad_and_stack(datas, q0s, n_frames=n_frames,
+                                        dtype=dtype)
     B = q0b.shape[0]
-    fte = kin.KinematicFTE(kin.KinematicConfig(), subject)
-    run = fte.make_solver()
-    vrun = jax.jit(jax.vmap(run))
 
-    # compile
+    # ---- stage 1: default kinematic FTE (batched) -------------------------
+    fte = kin.KinematicFTE(kin.KinematicConfig(), subject)
+    vrun = jax.jit(jax.vmap(fte.make_solver()))
     t0 = time.time()
     st = vrun(q0b, batched)
     st.q.block_until_ready()
-    compile_s = time.time() - t0
-
-    # timed runs
+    kin_compile_s = time.time() - t0
     reps = 3
     t0 = time.time()
     for _ in range(reps):
         st = vrun(q0b, batched)
         st.q.block_until_ready()
-    dt = (time.time() - t0) / reps
+    kin_s = (time.time() - t0) / reps
 
-    s_per_trial = dt / B
-    trials_per_min = 60.0 / s_per_trial
-    vs_baseline = BASELINE_S_PER_TRIAL / s_per_trial
-
-    # quality sanity: MPE/MPJPE vs the true synthetic ground truth (stderr).
-    # For calibration: the reference's default monocular mode scores
-    # MPE 264 / MPJPE 119 mm against its own multi-view solve (BASELINE.md).
-    from cheetah_pose_estimation_tpu.models import skeleton as sk
-    mpes, mpjpes = [], []
+    # quality sanity vs the true synthetic ground truth (stderr)
+    qs64 = np.asarray(st.q, np.float64)
+    mpes = []
     for i, tr in enumerate(trials):
         n = tr.q_gt.shape[0]
-        rec = np.asarray(sk.fk_markers(np.asarray(st.q[i][:n], np.float64),
-                                       subject))
-        gt = tr.markers_gt
-        mpes.append(np.mean(np.linalg.norm(rec - gt, axis=2)) * 1e3)
-        recc = rec - rec.mean(1, keepdims=True)
-        gtc = gt - gt.mean(1, keepdims=True)
-        mpjpes.append(np.mean(np.linalg.norm(recc - gtc, axis=2)) * 1e3)
-    print(f"# batch={B} N=64 compile={compile_s:.1f}s run={dt*1e3:.1f}ms "
-          f"({s_per_trial*1e3:.1f} ms/trial) MPE={np.mean(mpes):.0f}mm "
-          f"MPJPE={np.mean(mpjpes):.0f}mm "
-          f"costs_finite={bool(np.all(np.isfinite(np.asarray(st.cost))))}",
-          file=sys.stderr)
+        rec = np.asarray(sk.fk_markers(qs64[i, :n], subject))
+        mpes.append(np.mean(np.linalg.norm(rec - tr.markers_gt, axis=2))
+                    * 1e3)
+    print(f"# kinematic: compile={kin_compile_s:.1f}s run={kin_s*1e3:.0f}ms "
+          f"MPE={np.mean(mpes):.0f}mm", file=sys.stderr)
+
+    # ---- stage 2: contacts + physics-based FTE (batched) ------------------
+    try:
+        t_host0 = time.time()
+        qs_default = [qs64[i, : tr.q_gt.shape[0]]
+                      for i, tr in enumerate(trials)]
+        kbat, q_warm_b = bench_lib.build_physics_batch(
+            datas, qs_default, fpss, subject, n_frames=n_frames, dtype=dtype)
+        host_s = time.time() - t_host0
+        kfte = kn.KineticFTE(kn.KineticConfig(use_gmm=True), subject)
+        kvrun = jax.jit(jax.vmap(kfte.make_solver()))
+        t0 = time.time()
+        kst = kvrun(q_warm_b, kbat)
+        kst.q.block_until_ready()
+        phys_compile_s = time.time() - t0
+        t0 = time.time()
+        for _ in range(reps):
+            kst = kvrun(q_warm_b, kbat)
+            kst.q.block_until_ready()
+        phys_s = (time.time() - t0) / reps
+        kqs = np.asarray(kst.q, np.float64)
+        kmpes = []
+        for i, tr in enumerate(trials):
+            n = tr.q_gt.shape[0]
+            rec = np.asarray(sk.fk_markers(kqs[i, :n], subject))
+            kmpes.append(np.mean(np.linalg.norm(rec - tr.markers_gt,
+                                                axis=2)) * 1e3)
+        ok = bool(np.all(np.isfinite(kqs))) and np.mean(kmpes) < 100.0
+        print(f"# physics: compile={phys_compile_s:.1f}s host={host_s:.1f}s "
+              f"run={phys_s*1e3:.0f}ms MPE={np.mean(kmpes):.0f}mm ok={ok}",
+              file=sys.stderr)
+    except Exception:
+        traceback.print_exc(file=sys.stderr)
+        ok = False
+
+    if ok:
+        s_per_trial = (kin_s + phys_s + host_s) / B
+        baseline = BASELINE_DEFAULT_S + BASELINE_PHYSICS_S
+        metric = "monocular_pipeline_default_plus_physics"
+    else:
+        s_per_trial = kin_s / B
+        baseline = BASELINE_DEFAULT_S
+        metric = "monocular_default_full_trial_reconstruction"
 
     print(json.dumps({
-        "metric": "monocular_default_full_trial_reconstruction",
-        "value": round(trials_per_min, 2),
+        "metric": metric,
+        "value": round(60.0 / s_per_trial, 2),
         "unit": "trials/min",
-        "vs_baseline": round(vs_baseline, 2),
+        "vs_baseline": round(baseline / s_per_trial, 2),
     }))
 
 

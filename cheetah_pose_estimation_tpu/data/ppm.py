@@ -44,7 +44,66 @@ def save_ppm_pickle(path: str, pose: np.ndarray, likelihood: np.ndarray,
 
 def load_ppm_pickle(path: str) -> List[Dict]:
     with open(path, "rb") as f:
-        return pickle.load(f)
+        return normalize_pw_frames(pickle.load(f))
+
+
+def _normalize_entry(entry: Dict) -> Dict:
+    """Coerce one frame's pairwise record to the {'pose', 'pws'} layout the
+    reference indexes (``acinoset_misc.py:228-232,250-254``): 'pose' is the
+    flat (x, y, likelihood) x P vector, 'pws' the (1, P, P, 2) offsets."""
+    if "pose" in entry and "pws" in entry \
+            and np.asarray(entry["pws"]).ndim == 4:
+        return entry
+    out = dict(entry)
+    if "pose" not in out and "coordinates" in out:
+        # DLC full-pickle layout: coordinates (1, P, 2)-ish + confidence
+        xy = np.asarray(out["coordinates"], dtype=float).reshape(-1, 2)
+        conf = np.asarray(out.get("confidence", np.ones(len(xy))),
+                          dtype=float).reshape(-1)
+        out["pose"] = np.concatenate([xy, conf[:, None]], axis=1).reshape(-1)
+    if "pws" not in out:
+        for alias in ("pairwise", "pairwise_predictions", "pws_offsets"):
+            if alias in out:
+                out["pws"] = np.asarray(out[alias])
+                break
+    pws = np.asarray(out["pws"])
+    if pws.ndim == 3:  # (P, P, 2) without the leading singleton
+        out["pws"] = pws[None]
+    return out
+
+
+def normalize_pw_frames(obj) -> List[Dict]:
+    """Accept the pairwise pickle in any of the layouts seen in the wild and
+    return a frame-indexable list (the reference does
+    ``pw_data[cam][frame]`` with an integer frame, acinoset_misc.py:228):
+
+    * a list of per-frame dicts (the documented layout);
+    * a dict keyed by integer frame index;
+    * a dict keyed by DLC-style ``"frame0000"`` strings (a ``"metadata"``
+      entry, if present, is ignored).
+
+    Missing frames become zero-likelihood placeholders so downstream gating
+    drops them.
+    """
+    if isinstance(obj, list):
+        return [_normalize_entry(e) for e in obj]
+    if not isinstance(obj, dict):
+        raise TypeError(f"unsupported pairwise pickle layout: {type(obj)}")
+    items = {}
+    for k, v in obj.items():
+        if isinstance(k, str):
+            if not k.startswith("frame"):
+                continue  # metadata etc.
+            idx = int(k[len("frame"):])
+        else:
+            idx = int(k)
+        items[idx] = _normalize_entry(v)
+    if not items:
+        return []
+    n = max(items) + 1
+    P = N_DLC_PARTS
+    blank = {"pose": np.zeros(3 * P), "pws": np.zeros((1, P, P, 2))}
+    return [items.get(i, blank) for i in range(n)]
 
 
 def assemble_ppm_measurements(base_xy: np.ndarray, base_lik: np.ndarray,

@@ -47,13 +47,16 @@ def contact_forces(q: jnp.ndarray, dq: jnp.ndarray, subject: SubjectParams,
 
 
 def _accel(q, dq, tau, subject: SubjectParams, cp: ContactParams,
-           inertia_floor: float = 5e-2, spin_damping: float = 0.05):
+           inertia_floor: float = 5e-2, spin_damping: float = 0.05,
+           ext_q_fn=None):
     F = contact_forces(q, dq, subject, cp)
 
     def work(qq):
         return jnp.sum(dyn.foot_points(qq, subject) * F)
 
     Q_contact = jax.grad(work)(q)
+    if ext_q_fn is not None:
+        Q_contact = Q_contact + ext_q_fn(q, dq)
     Q_tau = jnp.asarray(dyn.TORQUE_MAP.B, q.dtype) @ tau
     # thin leg segments have ~1e-6 kg m^2 spin inertia about their own axis,
     # making M numerically singular under actuation; floor it (equivalently:
@@ -70,10 +73,12 @@ def _accel(q, dq, tau, subject: SubjectParams, cp: ContactParams,
 def simulate(subject: SubjectParams, q0: np.ndarray, dq0: np.ndarray,
              duration: float, dt: float = 2e-4,
              tau_fn=None, contact: ContactParams = ContactParams(),
-             record_every: int = 20) -> Tuple[np.ndarray, np.ndarray]:
+             record_every: int = 20,
+             ext_q_fn=None) -> Tuple[np.ndarray, np.ndarray]:
     """RK4 rollout. Returns (q (T, 54), dq (T, 54)) sampled every
     ``record_every`` steps. ``tau_fn(t, state) -> (22,)`` optional actuation
-    (zero = passive)."""
+    (zero = passive); ``ext_q_fn(q, dq) -> (54,)`` optional extra
+    generalized forces (e.g. dynamics.passive drag/spring/damper)."""
     steps = int(round(duration / dt))
     n_rec = steps // record_every
 
@@ -84,7 +89,7 @@ def simulate(subject: SubjectParams, q0: np.ndarray, dq0: np.ndarray,
 
     def deriv(t, s: SimState):
         return SimState(q=s.dq, dq=_accel(s.q, s.dq, tau_of(t, s), subject,
-                                          contact))
+                                          contact, ext_q_fn=ext_q_fn))
 
     @jax.jit
     def chunk(state, t0):

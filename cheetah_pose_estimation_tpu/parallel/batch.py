@@ -114,3 +114,42 @@ def shard_batch(batch, mesh: Mesh):
             TRIAL_AXIS, *([None] * (x.ndim - 1)))))
 
     return jax.tree.map(put, batch)
+
+
+def pad_and_stack_kinetic(kds, q_warms, n_frames: Optional[int] = None,
+                          n_cams: Optional[int] = None, dtype=None):
+    """Stack per-trial kinetic problems (solver.kinetic.KineticData) into one
+    batched pytree; the embedded kinematic bases go through pad_and_stack
+    and the physics arrays are zero-padded on the frame axis (padded frames
+    are already masked by frame_valid in every kinetic term)."""
+    from ..dynamics.eom import N_TAU
+    from ..solver.kinetic import KineticData
+
+    N = n_frames or max(kd.base.meas.shape[0] for kd in kds)
+    batched_base, q_warm_b = pad_and_stack([kd.base for kd in kds], q_warms,
+                                           n_frames=N, n_cams=n_cams,
+                                           dtype=dtype)
+    dt = q_warm_b.dtype
+
+    def stack(field, pad_axis0=True):
+        outs = []
+        for kd in kds:
+            x = np.asarray(getattr(kd, field), float)
+            outs.append(_pad_to(x, N, 0) if pad_axis0 else x)
+        return jnp.asarray(np.stack(outs), dtype=dt)
+
+    tau_anchors = []
+    for kd in kds:
+        a = np.broadcast_to(np.asarray(kd.tau_anchor, float),
+                            (kd.base.meas.shape[0], N_TAU))
+        tau_anchors.append(_pad_to(a, N, 0))
+    return KineticData(
+        base=batched_base,
+        stance=stack("stance"),
+        grf_fixed=stack("grf_fixed"),
+        grf_xy_fixed=stack("grf_xy_fixed"),
+        use_fixed_grf=stack("use_fixed_grf", pad_axis0=False),
+        q_warm=q_warm_b,
+        tau_anchor=jnp.asarray(np.stack(tau_anchors), dtype=dt),
+        tau_anchor_weight=stack("tau_anchor_weight", pad_axis0=False),
+    ), q_warm_b

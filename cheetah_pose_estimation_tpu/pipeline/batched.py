@@ -67,6 +67,13 @@ def run_monocular_batched(root_dir: str, dir_prefix: str,
     timings: Dict[str, float] = {}
     for mode in modes:
         t0 = time.time()
+        if mode == "physics-based":
+            timings[mode] = run_physics_batched(
+                root_dir, dir_prefix, test_set,
+                cam_overrides=cam_overrides,
+                data_driven_dataset=data_driven_dataset, dtype=dtype,
+                mesh=mesh, verbose=verbose)
+            continue
         monocular = mode != "ground-truth"
         groups: Dict[str, List] = defaultdict(list)
         for idx, (cheetah, date, trial_name) in enumerate(test_set):
@@ -153,3 +160,97 @@ def run_monocular_batched(root_dir: str, dir_prefix: str,
             print(f"[batched] mode={mode}: {timings[mode]:.1f}s for "
                   f"{sum(len(v) for v in groups.values())} trials")
     return timings
+
+
+def run_physics_batched(root_dir: str, dir_prefix: str,
+                        test_set: Sequence[Tuple[str, str, str]],
+                        cam_overrides: Optional[List[int]] = None,
+                        data_driven_dataset: Optional[str] = None,
+                        dtype=jnp.float32,
+                        mesh: Optional[object] = None,
+                        verbose: bool = True) -> float:
+    """Batched physics-based FTE over the test set: warm starts from the
+    saved data-driven solutions, host-side contact detection + GRF synthesis
+    per trial, then ONE vmapped f32 kinetic solve per subject group
+    (reference baseline: 725.6 s/trial serial IPOPT, BASELINE.md).
+
+    Requires the data-driven stage's artifacts (run the kinematic modes
+    first); float32 is viable because every inner factorization is
+    Jacobi-equilibrated (solver/kinetic.py, solver/gn.py).
+    """
+    import json as _json
+
+    from ..solver import kinetic as kn
+
+    t0 = time.time()
+    groups: Dict[str, List] = defaultdict(list)
+    for idx, (cheetah, date, trial_name) in enumerate(test_set):
+        data_path = os.path.join(date, cheetah, trial_name)
+        if not os.path.isdir(os.path.join(root_dir, data_path)):
+            continue
+        cam = cam_overrides[idx] if cam_overrides is not None else None
+        est = _prepare(root_dir, data_path, cheetah, cam, monocular=True)
+        groups[params_mod.get_subject(cheetah).name].append(est)
+    n_total = 0
+    for subject_name, ests in groups.items():
+        subject = params_mod.get_subject(subject_name)
+        kds, q_warms = [], []
+        dset = data_driven_dataset or est_mod.DATA_DRIVEN_DATASET
+        df = prior_ds.load_pose_dataset(dset)
+        gp = gmm_mod.to_solver_prior(gmm_mod.fit(
+            df.iloc[:, 6:28].to_numpy(), n_components=5, seed=42))
+        for est in ests:
+            d = est_mod._load_warm_start(est, True, dir_prefix)
+            est.com_vel, est.com_pos = d["com_vel"], d["com_pos"]
+            est_mod.determine_contacts(est, monocular=True,
+                                       out_dir_prefix=dir_prefix)
+            base_dir = os.path.join(dir_prefix, est.data_path)
+            with open(os.path.join(base_dir, "grf", "autogen-contact.json"),
+                      encoding="utf-8") as f:
+                cj = _json.load(f)
+            N = est.params.end_frame - est.params.start_frame
+            stance = kn.stance_matrix(cj["contacts"], cj["start_frame"], N)
+            kds.append(kn.KineticData(
+                base=est.data._replace(gmm=gp),
+                stance=jnp.asarray(stance),
+                grf_fixed=jnp.zeros((N, 4)),
+                grf_xy_fixed=jnp.zeros((N, 4, 4)),
+                use_fixed_grf=jnp.asarray(0.0),
+                q_warm=jnp.asarray(d["q"])))
+            q_warms.append(np.asarray(d["q"]))
+        n_frames = int(np.ceil(max(kd.base.meas.shape[0]
+                                   for kd in kds) / 16) * 16)
+        batched, q_warm_b = pbatch.pad_and_stack_kinetic(
+            kds, q_warms, n_frames=n_frames, dtype=dtype)
+        if mesh is not None:
+            batched = pbatch.shard_batch(batched, mesh)
+            q_warm_b = jax.device_put(q_warm_b)
+        cfg = kn.KineticConfig(fisheye=True, robust=True, use_gmm=True)
+        fte = kn.KineticFTE(cfg, subject)
+        run = fte.make_solver()
+        vrun = jax.jit(jax.vmap(run))
+        state = vrun(q_warm_b, batched)
+        qs = np.asarray(state.q, np.float64)
+        vforces = jax.jit(jax.vmap(
+            lambda q, d: fte.forces(q, d)))
+        tau_b, gz_b, gxy_b = vforces(state.q, batched)
+        for i, est in enumerate(ests):
+            n = est.data.meas.shape[0]
+            est.q = qs[i, :n]
+            est.tau = np.asarray(tau_b[i][:n], np.float64)
+            est.grf_z = np.asarray(gz_b[i][:n], np.float64)
+            est.grf_xy = np.asarray(gxy_b[i][:n], np.float64)
+            kd_i = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)[i])
+                                if np.ndim(x) and np.asarray(x).shape[0]
+                                == len(ests) else x, batched)
+            est.obj_cost = fte.objective(
+                jnp.asarray(state.q[i]), kd_i)
+            est.opt_time_s = (time.time() - t0) / max(len(ests), 1)
+            est.save(f"fte_kinetic_{est.scene.cam_idx}",
+                     out_dir_prefix=dir_prefix)
+        n_total += len(ests)
+    wall = time.time() - t0
+    if verbose:
+        print(f"[batched] mode=physics-based: {wall:.1f}s for "
+              f"{n_total} trials")
+    return wall

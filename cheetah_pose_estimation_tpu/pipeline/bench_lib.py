@@ -128,3 +128,46 @@ def build_batch(max_trials: Optional[int] = None, n_frames: Optional[int] = None
     batched, q0b = pbatch.pad_and_stack(datas, q0s, n_frames=n_frames,
                                         dtype=dtype)
     return batched, q0b, trials, subject
+
+
+def build_physics_batch(datas, qs_default, fpss, subject,
+                        n_frames: Optional[int] = None, dtype=jnp.float32,
+                        use_gmm: bool = True):
+    """Batched physics-based problems warm-started from solved kinematic
+    trajectories: host-side contact detection per trial -> stance schedules
+    -> one stacked KineticData (joint torque/GRF estimation mode)."""
+    from ..priors import dataset as prior_ds, gmm as gmm_mod
+    from ..solver import kinetic as kn
+    from . import contacts as contacts_mod
+    from . import estimator as est_mod
+
+    gp = None
+    if use_gmm:
+        try:
+            df = prior_ds.load_pose_dataset(est_mod.DATA_DRIVEN_DATASET)
+            gp = gmm_mod.to_solver_prior(gmm_mod.fit(
+                df.iloc[:, 6:28].to_numpy(), n_components=5, seed=42))
+        except (OSError, ValueError):
+            gp = None
+    kds, qws = [], []
+    for d, q, fps in zip(datas, qs_default, fpss):
+        q = np.asarray(q, np.float64)
+        N = q.shape[0]
+        h = 1.0 / fps
+        dq = np.zeros_like(q)
+        dq[1:] = (q[1:] - q[:-1]) / h
+        com = np.asarray(sk.com_position(q, subject))
+        com_vel = (com[1:] - com[:-1]) * fps
+        speed = float(np.mean(np.linalg.norm(com_vel, axis=1)))
+        contacts, _ = contacts_mod.contact_detection(q, dq, subject, 0,
+                                                     speed, fps)
+        stance = kn.stance_matrix(contacts, 0, N)
+        base = d._replace(gmm=gp) if gp is not None else d
+        kds.append(kn.KineticData(
+            base=base, stance=jnp.asarray(stance),
+            grf_fixed=jnp.zeros((N, 4)),
+            grf_xy_fixed=jnp.zeros((N, 4, 4)),
+            use_fixed_grf=jnp.asarray(0.0), q_warm=jnp.asarray(q)))
+        qws.append(q)
+    return pbatch.pad_and_stack_kinetic(kds, qws, n_frames=n_frames,
+                                        dtype=dtype)

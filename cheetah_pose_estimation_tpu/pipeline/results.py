@@ -320,6 +320,51 @@ def plot_eom_error(fte_pickle_path: str, subject, out_path: str):
     return np.asarray(res)
 
 
+def get_power_values(q: np.ndarray, tau: np.ndarray, fps: float,
+                     force_scale: float = 1.0) -> Dict[str, np.ndarray]:
+    """Per-motor mechanical power traces (reference ``get_power_values``,
+    results.py:406-417): power_i = tau_i * (B[:, i] . dq), the relative
+    joint angular velocity each actuator works against, grouped per motor
+    like the reference's ``pe.motor.torques(robot)`` list."""
+    q = np.asarray(q, float)
+    tau = np.asarray(tau, float)
+    dq = np.gradient(q, axis=0) * fps
+    rel_vel = dq @ TORQUE_MAP.B               # (N, n_tau)
+    p_cols = tau * rel_vel[: len(tau)] * force_scale
+    out: Dict[str, List[np.ndarray]] = {}
+    for i, name in enumerate(TORQUE_MAP.names):
+        motor = name.rsplit(":", 1)[0]
+        out.setdefault(motor, []).append(p_cols[:, i])
+    return {k: np.stack(v, axis=1) for k, v in out.items()}
+
+
+def plot_power_values(q: np.ndarray, tau: np.ndarray, fps: float,
+                      out_path: str, force_scale: float = 1.0
+                      ) -> Dict[str, float]:
+    """Total power-output trace with peak/average annotation (reference
+    ``plot_power_values``, results.py:1281-1309; units are W/kg when tau is
+    in body-weight units and force_scale = g)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    power = get_power_values(q, tau, fps, force_scale)
+    total = np.sum(np.hstack(list(power.values())), axis=1)
+    t = np.arange(len(total)) / fps
+    fig = plt.figure(figsize=(16, 9), dpi=60)
+    plt.plot(t, total, color="#36454f")
+    plt.plot(t, np.full_like(total, total.mean()), color="#ff7f0e",
+             linestyle="--", label="Mean")
+    plt.title(f"Total power output of cheetah.\nPeak power: "
+              f"{int(np.max(total))} W/kg, Avg power: "
+              f"{int(np.mean(total))} W/kg")
+    plt.ylabel("Total power (W/kg)")
+    plt.xlabel("Time (s)")
+    plt.legend()
+    fig.savefig(out_path, bbox_inches="tight")
+    plt.close(fig)
+    return {"peak": float(np.max(total)), "mean": float(np.mean(total))}
+
+
 # ---------------------------------------------------------------------------
 # plots
 # ---------------------------------------------------------------------------
@@ -356,3 +401,137 @@ def plot_gait_attributes(analysis: Dict, out_path: str):
             ax.legend(fontsize=7)
     fig.savefig(out_path, bbox_inches="tight")
     plt.close(fig)
+
+
+def torque_error(tau1: np.ndarray, tau2: np.ndarray):
+    """Per-actuator torque RMSE between two solutions (reference
+    ``torque_error``, results.py:1355-1374): returns (per-column RMSE,
+    tau1, tau2)."""
+    tau1 = np.asarray(tau1)
+    tau2 = np.asarray(tau2)
+    n = min(len(tau1), len(tau2))
+    tau1, tau2 = tau1[:n], tau2[:n]
+    per_col = np.linalg.norm(tau1 - tau2, axis=0) / np.sqrt(n)
+    return per_col, tau1, tau2
+
+
+def align_error_trajectories(trajectories: List[np.ndarray]):
+    """Resample ragged error trajectories to a common length and compute
+    band statistics (reference ``align_error_trajectories``,
+    run_dataset.py:143-168). Returns (max_length, interpolated, mean, std,
+    median, lower_quartile, upper_quartile, mad)."""
+    max_length = max(len(t) for t in trajectories)
+    target = np.linspace(0.0, 1.0, max_length)
+    interp = np.stack([
+        np.interp(target, np.linspace(0.0, 1.0, len(t)), np.asarray(t))
+        for t in trajectories])
+    med = np.median(interp, axis=0)
+    return (max_length, interp, np.mean(interp, axis=0),
+            np.std(interp, axis=0), med,
+            np.quantile(interp, 0.25, axis=0),
+            np.quantile(interp, 0.75, axis=0),
+            np.median(np.abs(interp - med), axis=0))
+
+
+def align_error_and_plot(x: List[np.ndarray], y: List[np.ndarray],
+                         z: List[np.ndarray], file_name: str):
+    """Median +- MAD error bands over time for the three monocular modes
+    (reference ``align_error_and_plot``, run_dataset.py:171-205)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    stats = [align_error_trajectories(t) for t in (x, y, z)]
+    assert stats[0][0] == stats[1][0] == stats[2][0]
+    fig = plt.figure(figsize=(16, 12), dpi=60)
+    for (n, _, _, _, med, _, _, mad), label, color in zip(
+            stats, ("Default", "Data-driven", "Physics-based"),
+            ("#36454f", "#2e8b57", "#ff7f0e")):
+        plt.plot(med, color=color, label=label)
+        plt.fill_between(range(n), med - mad, med + mad, color=color,
+                         alpha=0.15)
+    plt.title("MPE over time")
+    plt.xlabel("Frames")
+    plt.ylabel("Error (mm)")
+    plt.legend()
+    fig.savefig(file_name, bbox_inches="tight")
+    plt.close(fig)
+
+
+def save_error_dists(px_errors: Dict[int, np.ndarray],
+                     output_dir: str) -> Tuple[float, float]:
+    """Reprojection-error histograms + reprojection.pickle from per-camera
+    pixel residuals (reference ``_save_error_dists``,
+    results.py:1608-1657). Returns (mean, median)."""
+    import pickle as _pickle
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    distances = np.concatenate([np.asarray(v, float).ravel()
+                                for v in px_errors.values()])
+    mean_error = float(np.mean(distances))
+    med_error = float(np.median(distances))
+    os.makedirs(output_dir, exist_ok=True)
+    with open(os.path.join(output_dir, "reprojection.pickle"), "wb") as f:
+        _pickle.dump({"error": distances, "mean_error": mean_error,
+                      "med_error": med_error}, f)
+    fig = plt.figure()
+    ax = fig.add_subplot(1, 1, 1)
+    ax.hist(distances, bins=50)
+    ax.set_title(f"Error Overview (N={len(distances)}, "
+                 f"mean={mean_error:.3f}, med={med_error:.3f})")
+    ax.set_xlabel("Error [px]")
+    ax.set_ylabel("Frequency")
+    fig.savefig(os.path.join(output_dir, "overall_error_hist.pdf"))
+    plt.close(fig)
+    fig = plt.figure()
+    ax = fig.add_subplot(1, 1, 1)
+    ax.hist([np.asarray(v, float).ravel() for v in px_errors.values()],
+            bins=10, density=True, histtype="bar")
+    ax.legend([f"cam{int(k) + 1} (N={len(np.asarray(v).ravel())})"
+               for k, v in px_errors.items()])
+    ax.set_title("Reprojection Pixel Error")
+    ax.set_xlabel("Error [px]")
+    ax.set_ylabel("Frequency")
+    fig.savefig(os.path.join(output_dir, "cams_error_hist.pdf"))
+    plt.close(fig)
+    return mean_error, med_error
+
+
+def plot_3d_pose(fte_pickle_path: str, pose_idx: int, subject,
+                 gmm_dataset: str, out_path: str, n_components: int = 5):
+    """GMM pose-likelihood demo (reference ``plot_3d_pose``,
+    results.py:773-868): score the solved pose and a deliberately distorted
+    variant under the learned pose prior and render both skeletons."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..priors import dataset as prior_ds, gmm as gmm_mod
+    from . import visualize
+
+    d = dio.load_fte_pickle(fte_pickle_path)
+    q_orig = np.asarray(d["q"][pose_idx])
+    pos1 = np.asarray(d["positions"][pose_idx])
+    q_bad = q_orig.copy()
+    # reference distortion: kink the front-body/neck pitch+roll
+    q_bad[3:12:3] = np.pi / 6
+    q_bad[3:12:2] = -np.pi / 6
+    pos2 = np.asarray(sk.fk_markers(q_bad[None], subject))[0]
+    df = prior_ds.load_pose_dataset(gmm_dataset)
+    model = gmm_mod.fit(df.iloc[:, 6:28].to_numpy(),
+                        n_components=n_components, seed=42)
+    x1 = np.asarray(sk.relative_pose(q_orig[None]))[0, 6:]
+    x2 = np.asarray(sk.relative_pose(q_bad[None]))[0, 6:]
+    ll1 = float(gmm_mod.score(model, x1[None])[0])
+    ll2 = float(gmm_mod.score(model, x2[None])[0])
+    pos1 = pos1 - pos1.mean(axis=0, keepdims=True)
+    pos2 = pos2 - pos2.mean(axis=0, keepdims=True)
+    fig = plt.figure(figsize=(6, 6))
+    ax = fig.add_subplot(1, 1, 1, projection="3d")
+    visualize._draw_pose(ax, pos1, "#36454f", f"solved (ll={ll1:.1f})")
+    visualize._draw_pose(ax, pos2, "#d62728", f"distorted (ll={ll2:.1f})")
+    ax.legend()
+    fig.savefig(out_path, bbox_inches="tight")
+    plt.close(fig)
+    return ll1, ll2

@@ -520,36 +520,60 @@ def main(argv=None):
     parser.add_argument("--materialize_synthetic", action="store_true",
                         help="render the synthetic test set into root_dir "
                              "from the reference's shipped trajectories")
+    parser.add_argument("--batched", action="store_true",
+                        help="solve each mode's whole trial set as one "
+                             "vmapped accelerator batch (float32) instead "
+                             "of the serial per-trial loop")
+    parser.add_argument("--trials", type=int, default=None,
+                        help="limit to the first N test-set trials")
     args = parser.parse_args(argv)
 
+    test_set = TEST_SET[: args.trials] if args.trials else TEST_SET
     cam_overrides = CAM_OVERRIDES if args.override_default_cam else None
+    if cam_overrides is not None and args.trials:
+        cam_overrides = cam_overrides[: args.trials]
     if args.materialize_synthetic:
         made = materialize_synthetic_testset(args.root_dir)
         print(f"materialized {len(made)} synthetic trials in {args.root_dir}")
     if args.run_monocular:
         if args.clean:
-            run_monocular(args.root_dir, args.out_dir_prefix, TEST_SET,
-                          cam_overrides)
-        dataset_post_process(args.root_dir, args.out_dir_prefix, TEST_SET,
+            if args.batched:
+                from . import batched
+                batched.run_monocular_batched(
+                    args.root_dir, args.out_dir_prefix, test_set,
+                    cam_overrides,
+                    modes=("ground-truth", "default", "data-driven",
+                           "physics-based"))
+            else:
+                run_monocular(args.root_dir, args.out_dir_prefix, test_set,
+                              cam_overrides)
+        dataset_post_process(args.root_dir, args.out_dir_prefix, test_set,
                              cam_overrides)
     if args.run_kinetic:
         if args.clean:
             run_kinetic(args.root_dir, args.out_dir_prefix)
         print(kinetic_analysis(args.root_dir, args.out_dir_prefix))
     if args.run_acinoset:
+        if args.clean:
+            done = run_acinoset(args.root_dir, args.out_dir_prefix)
+            print(f"processed {len(done)} AcinoSet trials")
         print(validate_dataset(args.out_dir_prefix))
     if args.run_analysis:
         if args.clean:
-            run_monocular_all(args.root_dir, args.out_dir_prefix, TEST_SET)
+            run_monocular_all(args.root_dir, args.out_dir_prefix, test_set)
         print(distance_vs_error(args.root_dir, args.out_dir_prefix,
-                                TEST_SET, cam_overrides))
+                                test_set, cam_overrides))
     if args.run_grid_search:
         from . import studies
-        studies.run_grid_search(args.root_dir, args.out_dir_prefix, TEST_SET)
+        studies.run_grid_search(args.root_dir, args.out_dir_prefix, test_set)
     if args.run_data_driven_ablation_study:
         from . import studies
         studies.run_data_driven_ablation_study(args.root_dir,
-                                               args.out_dir_prefix, TEST_SET)
+                                               args.out_dir_prefix, test_set)
+    if args.run_physics_based_ablation_study:
+        from . import studies
+        studies.run_physics_based_ablation_study(
+            args.root_dir, args.out_dir_prefix, test_set, cam_overrides)
 
 
 if __name__ == "__main__":

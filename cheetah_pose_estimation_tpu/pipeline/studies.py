@@ -123,3 +123,52 @@ def run_data_driven_ablation_study(root_dir: str, dir_prefix: str,
     df.to_csv(os.path.join(dir_prefix, "data_driven_ablation_results.csv"),
               index=False)
     return df
+
+
+def run_physics_based_ablation_study(root_dir: str, dir_prefix: str,
+                                     test_set: Tuple,
+                                     cam_overrides: Optional[List[int]]
+                                     = None,
+                                     max_trials: Optional[int] = 3
+                                     ) -> pd.DataFrame:
+    """Pose-prior on/off ablation over the physics-based mode (reference
+    ``run_physics_based_ablation_study``, run_dataset.py:721-810): each
+    configuration re-solves the monocular kinetic FTE in joint-estimation
+    mode from the saved data-driven warm start and scores against the
+    multi-view solution. The reference's motion-prior axis is a no-op in the
+    kinetic stage (the AR anchor only enters the kinematic solve), so the
+    sweep here is pose prior on/off."""
+    configs = [("pose", False), ("no-pose", True)]
+    rows = []
+    trials = test_set[:max_trials] if max_trials else test_set
+    for label, no_pose in configs:
+        mpes, mpjpes = [], []
+        for idx, (cheetah, date, name) in enumerate(trials):
+            data_path = os.path.join(date, cheetah, name)
+            if not os.path.isdir(os.path.join(root_dir, data_path)):
+                continue
+            cam = cam_overrides[idx] if cam_overrides else None
+            est = est_mod.init_trajectory(
+                root_dir, data_path, cheetah, monocular_enable=True,
+                override_monocular_cam=cam, kinematic_model=False)
+            est_mod.determine_contacts(est, monocular=True,
+                                       out_dir_prefix=dir_prefix)
+            ok = est_mod.estimate_kinetics(
+                est, joint_estimation=True, disable_pose_prior=no_pose,
+                out_dir_prefix=dir_prefix)
+            if not ok:
+                continue
+            s = _score_against_multiview(
+                dir_prefix, data_path, f"fte_kinetic_{est.scene.cam_idx}")
+            if s:
+                mpes.append(s[0])
+                mpjpes.append(s[1])
+        rows.append(dict(config=label,
+                         mpe=np.mean(mpes) if mpes else np.nan,
+                         mpjpe=np.mean(mpjpes) if mpjpes else np.nan,
+                         n=len(mpes)))
+    df = pd.DataFrame(rows)
+    os.makedirs(dir_prefix, exist_ok=True)
+    df.to_csv(os.path.join(dir_prefix, "physics_based_ablation_results.csv"),
+              index=False)
+    return df

@@ -171,9 +171,21 @@ class KineticFTE:
         rhs = we * (A.T @ lhs_eff)
         if tau_anchor_t is not None:
             rhs = rhs.at[:dyn.N_TAU].add(wa * tau_anchor_t)
-        # SPD system: Cholesky (the axon TPU backend lacks f64 LU)
-        L = jnp.linalg.cholesky(AtA)
-        z = jax.scipy.linalg.cho_solve((L, True), rhs)
+        # SPD system: Cholesky (the axon TPU backend lacks f64 LU), with
+        # symmetric Jacobi equilibration — raw diagonals span we*|A_col|^2
+        # (~1e5) down to the 1e-3 GRF ridge of masked columns, which breaks
+        # float32 factorization. The equilibrated matrix additionally gets a
+        # dtype-scaled identity bump: the four friction-polygon directions
+        # span only the 2-D tangent plane, so the GRFxy block is exactly
+        # rank-deficient and the physical 1e-3 ridge sits ~1e-8 below the
+        # we-scale diagonal — under float32 eps, where roundoff makes the
+        # factorization fail on stance frames.
+        sc = jax.lax.rsqrt(jnp.diagonal(AtA))
+        bump = 128.0 * jnp.finfo(dtype).eps
+        As = AtA * sc[:, None] * sc[None, :] \
+            + bump * jnp.eye(AtA.shape[0], dtype=dtype)
+        L = jnp.linalg.cholesky(As)
+        z = sc * jax.scipy.linalg.cho_solve((L, True), sc * rhs)
         tau = z[:dyn.N_TAU]
         g = z[dyn.N_TAU:]
         # projection: GRF nonnegative, friction polyhedron
@@ -303,6 +315,38 @@ class KineticFTE:
     # ------------------------------------------------------------------
     # normal equations
     # ------------------------------------------------------------------
+    def _eom_curvature(self, q: jnp.ndarray, data: KineticData,
+                       Hdiag: jnp.ndarray, Hlower: jnp.ndarray):
+        """Add the EOM term's generalized-GN curvature (dominant 1/h^2
+        channel): H ~ sum_t we (c_a c_b / h^4) M_t^T M_t between frames
+        (t-a, t-b), with c the ddq stencil (q_t, q_{t-1}, q_{t-2})."""
+        cfg = self.config
+        dtype = q.dtype
+        N = q.shape[0]
+        h = data.base.h
+        valid = self._eom_valid(data)
+        M_all = jax.vmap(
+            lambda qt: dyn.mass_matrix(qt, self.subject))(q) / self.force_scale
+        MtM = jnp.einsum("tij,tik->tjk", M_all, M_all) \
+            * (2.0 * cfg.eom_weight / h**4) * valid[:, None, None]
+        c = jnp.asarray([1.0, -2.0, 1.0], dtype)
+        # residual at frame r uses q[r-a] with coefficient c[a]
+        for a in range(3):
+            for b in range(a, 3):
+                k = b - a
+                contrib = c[a] * c[b]
+                # block (r-a, r-b): lower band k, at column t=r-b
+                if k == 0:
+                    seg = jnp.zeros((N, NQ, NQ), dtype)
+                    seg = seg.at[: N - a].set(MtM[a:])
+                    Hdiag = Hdiag + contrib * seg
+                else:
+                    seg = jnp.zeros((N, NQ, NQ), dtype)
+                    if N - b > 0:
+                        seg = seg.at[: N - b].set(MtM[b:])
+                    Hlower = Hlower.at[k - 1].add(contrib * seg)
+        return Hdiag, Hlower
+
     def _normal(self, q: jnp.ndarray, data: KineticData,
                 loss_scale: jnp.ndarray = 1.0):
         cfg = self.config
@@ -325,30 +369,8 @@ class KineticFTE:
         g = g + jax.grad(lambda qq: self._smooth_cost(qq, data))(q)
         g = g + jax.grad(lambda qq: self._stance_penalties(qq, data))(q)
 
-        # GN curvature for the EOM term: dominant 1/h^2 channel
-        # H ~ sum_t we (c_a c_b / h^4) M_t^T M_t between frames (t-a, t-b)
         h = data.base.h
-        valid = self._eom_valid(data)
-        M_all = jax.vmap(
-            lambda qt: dyn.mass_matrix(qt, self.subject))(q) / self.force_scale
-        MtM = jnp.einsum("tij,tik->tjk", M_all, M_all) \
-            * (2.0 * cfg.eom_weight / h**4) * valid[:, None, None]
-        c = jnp.asarray([1.0, -2.0, 1.0], dtype)  # ddq stencil (q_t, q_{t-1}, q_{t-2})
-        # residual at frame r uses q[r-a] with coefficient c[a]
-        for a in range(3):
-            for b in range(a, 3):
-                k = b - a
-                contrib = c[a] * c[b]
-                # block (r-a, r-b): lower band k, at column t=r-b
-                if k == 0:
-                    seg = jnp.zeros((N, NQ, NQ), dtype)
-                    seg = seg.at[: N - a].set(MtM[a:])
-                    Hdiag = Hdiag + contrib * seg
-                else:
-                    seg = jnp.zeros((N, NQ, NQ), dtype)
-                    if N - b > 0:
-                        seg = seg.at[: N - b].set(MtM[b:])
-                    Hlower = Hlower.at[k - 1].add(contrib * seg)
+        Hdiag, Hlower = self._eom_curvature(q, data, Hdiag, Hlower)
 
         # smoothing + stance penalties: cheap diagonal GN via marker Jacobian
         # magnitude — approximate with a scaled identity; LM damping handles
@@ -377,11 +399,16 @@ class KineticFTE:
             return self._solve_cache[key]
 
         def run(q0: jnp.ndarray, data: KineticData) -> gn_mod.LMState:
-            cost_fn = lambda qq, s: self._cost(qq, data, s)
-            normal_fn = lambda qq, s: self._normal(qq, data, s)
-            return gn_mod.lm_solve_annealed(cost_fn, normal_fn, q0, stages,
-                                            gn_mod.LMConfig(ftol=ftol,
-                                                            lam0=lam0))
+            # full-f32 matmul passes: the EOM channel's 1/h^4-scaled
+            # curvature and the LM accept/reject cost cannot survive the
+            # TPU default bf16 products (same discipline as the kinematic
+            # solver, see kinematic.make_solver)
+            with jax.default_matmul_precision("highest"):
+                cost_fn = lambda qq, s: self._cost(qq, data, s)
+                normal_fn = lambda qq, s: self._normal(qq, data, s)
+                return gn_mod.lm_solve_annealed(
+                    cost_fn, normal_fn, q0, stages,
+                    gn_mod.LMConfig(ftol=ftol, lam0=lam0))
 
         run_jit = jax.jit(run)
         self._solve_cache[key] = run_jit

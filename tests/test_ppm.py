@@ -69,3 +69,37 @@ def test_ppm_pipeline_improves_dropout_robustness(tmp_path):
           f"ppm {err_ppm:.1f} mm")
     assert err_ppm < err_base * 1.02
     assert err_ppm < 40.0
+
+
+def test_pw_pickle_layout_variants(tmp_path):
+    """Dict-keyed pairwise pickles (int keys or DLC-style 'frameNNNN' keys,
+    with 'coordinates'+'confidence' instead of a flat 'pose') normalize to
+    the frame-indexable list layout the reference consumes."""
+    rng = np.random.default_rng(2)
+    markers_px = rng.normal(size=(4, 24, 2)) * 200 + 800
+    lik = rng.uniform(0.6, 1.0, size=(4, 24))
+    pose, plik, pws = ppm_mod.synthesize_ppm(markers_px, lik, noise_px=0.0,
+                                             seed=2)
+    canonical = []
+    for t in range(4):
+        flat = np.concatenate([pose[t], plik[t][:, None]],
+                              axis=1).reshape(-1)
+        canonical.append({"pose": flat, "pws": pws[t][None]})
+
+    as_int_dict = {t: {"pose": canonical[t]["pose"], "pws": pws[t]}
+                   for t in range(4)}  # (P,P,2) without leading singleton
+    as_frame_dict = {"metadata": {"nframes": 4}}
+    for t in range(4):
+        as_frame_dict[f"frame{t:04d}"] = {
+            "coordinates": pose[t], "confidence": plik[t],
+            "pairwise": pws[t][None]}
+
+    for variant in (canonical, as_int_dict, as_frame_dict):
+        frames = ppm_mod.normalize_pw_frames(
+            pickle.loads(pickle.dumps(variant)))
+        assert len(frames) == 4
+        for t in range(4):
+            assert frames[t]["pws"].shape == pws[t][None].shape
+            np.testing.assert_allclose(
+                np.nan_to_num(np.asarray(frames[t]["pose"], float)),
+                np.nan_to_num(canonical[t]["pose"]), atol=1e-12)

@@ -103,3 +103,63 @@ def test_stance_normalized():
     assert c.shape == (101,)
     np.testing.assert_allclose(c[0], 10.0)
     np.testing.assert_allclose(c[-1], 19.0)
+
+
+def test_power_values_energy_consistency(tmp_path):
+    """Power traces: a single actuated joint rotating at constant rate under
+    constant torque has power = tau * omega at every frame."""
+    from cheetah_pose_estimation_tpu.dynamics.eom import TORQUE_MAP
+    fps = 100.0
+    N = 20
+    q = np.zeros((N, 54))
+    col = TORQUE_MAP.names.index("UFL_LFL_torque:y")
+    b = TORQUE_MAP.B[:, col]
+    (j,) = np.nonzero(b == 1.0)
+    omega = 2.0
+    q[:, j[0]] = omega * np.arange(N) / fps
+    tau = np.zeros((N, len(TORQUE_MAP.names)))
+    tau[:, col] = 3.0
+    power = R.get_power_values(q, tau, fps)
+    p = power["UFL_LFL_torque"]
+    # interior frames see the exact constant rate (np.gradient is exact for
+    # a linear ramp)
+    np.testing.assert_allclose(p[1:-1, 0], 3.0 * omega, rtol=1e-9)
+    # every other motor does no work
+    for k, v in power.items():
+        if k != "UFL_LFL_torque":
+            np.testing.assert_allclose(v, 0.0, atol=1e-12)
+    stats = R.plot_power_values(q, tau, fps, str(tmp_path / "p.pdf"))
+    assert stats["peak"] == pytest.approx(3.0 * omega, rel=1e-6)
+    assert os.path.exists(tmp_path / "p.pdf")
+
+
+def test_torque_error_and_align_bands(tmp_path):
+    t1 = np.ones((10, 4))
+    t2 = np.zeros((12, 4))
+    per_col, a, b = R.torque_error(t1, t2)
+    np.testing.assert_allclose(per_col, 1.0)
+    assert a.shape == b.shape == (10, 4)
+    trajs = [np.linspace(0, 1, n) for n in (5, 9, 17)]
+    n, interp, mean, std, med, lq, uq, mad = R.align_error_trajectories(trajs)
+    assert n == 17 and interp.shape == (3, 17)
+    np.testing.assert_allclose(med, np.linspace(0, 1, 17), atol=1e-12)
+    np.testing.assert_allclose(mad, 0.0, atol=1e-12)
+    out = tmp_path / "bands.pdf"
+    R.align_error_and_plot([t + 1 for t in trajs], trajs,
+                           [t * 2 for t in trajs], str(out))
+    assert out.exists()
+
+
+def test_save_error_dists(tmp_path):
+    rng = np.random.default_rng(0)
+    px = {0: rng.uniform(0, 5, 100), 2: rng.uniform(0, 8, 50)}
+    mean, med = R.save_error_dists(px, str(tmp_path))
+    allv = np.concatenate([px[0], px[2]])
+    assert mean == pytest.approx(float(np.mean(allv)))
+    assert med == pytest.approx(float(np.median(allv)))
+    assert (tmp_path / "reprojection.pickle").exists()
+    assert (tmp_path / "overall_error_hist.pdf").exists()
+    assert (tmp_path / "cams_error_hist.pdf").exists()
+    with open(tmp_path / "reprojection.pickle", "rb") as f:
+        d = pickle.load(f)
+    assert set(d) == {"error", "mean_error", "med_error"}
