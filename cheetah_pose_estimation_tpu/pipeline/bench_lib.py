@@ -11,6 +11,7 @@ import os
 import pickle
 from typing import List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -75,17 +76,21 @@ def build_monocular_problem(q_gt: np.ndarray, subject_name: str, fps: float,
                             noise_px: float = 1.5) -> Tuple[kin.KinematicData,
                                                             np.ndarray,
                                                             syn.SyntheticTrial]:
-    subject = P.get_subject(subject_name)
-    markers = np.asarray(sk.fk_markers(q_gt, subject))
-    scene = syn.ring_cameras(markers.mean(axis=(0, 1)), n_cams=n_cams,
-                             fps=fps, seed=seed)
-    trial = syn.synthesize(q_gt, subject, scene, noise_px=noise_px,
-                           outlier_frac=0.02, seed=seed,
-                           subject_name=subject_name)
-    w = syn.gated_weights(trial)
-    q0 = init.initialize_trajectory(trial.meas, w, scene.K, scene.D, scene.R,
-                                    scene.t, subject, fisheye=True,
-                                    cam_idx=cam_idx)
+    # Problem construction is host work: on a tunneled accelerator backend
+    # the many distinct-shape scrap ops here would each pay a compile
+    # round-trip (~0.4 s), so pin them to the host CPU.
+    with jax.default_device(jax.devices("cpu")[0]):
+        subject = P.get_subject(subject_name)
+        markers = np.asarray(sk.fk_markers(q_gt, subject))
+        scene = syn.ring_cameras(markers.mean(axis=(0, 1)), n_cams=n_cams,
+                                 fps=fps, seed=seed)
+        trial = syn.synthesize(q_gt, subject, scene, noise_px=noise_px,
+                               outlier_frac=0.02, seed=seed,
+                               subject_name=subject_name)
+        w = syn.gated_weights(trial)
+        q0 = init.initialize_trajectory(trial.meas, w, scene.K, scene.D,
+                                        scene.R, scene.t, subject,
+                                        fisheye=True, cam_idx=cam_idx)
     N = q_gt.shape[0]
     gmmp, ar = empty_priors(N)
     data = kin.KinematicData(
@@ -141,33 +146,56 @@ def build_physics_batch(datas, qs_default, fpss, subject,
     from . import contacts as contacts_mod
     from . import estimator as est_mod
 
-    gp = None
-    if use_gmm:
-        try:
-            df = prior_ds.load_pose_dataset(est_mod.DATA_DRIVEN_DATASET)
-            gp = gmm_mod.to_solver_prior(gmm_mod.fit(
-                df.iloc[:, 6:28].to_numpy(), n_components=5, seed=42))
-        except (OSError, ValueError):
-            gp = None
-    kds, qws = [], []
-    for d, q, fps in zip(datas, qs_default, fpss):
-        q = np.asarray(q, np.float64)
-        N = q.shape[0]
-        h = 1.0 / fps
-        dq = np.zeros_like(q)
-        dq[1:] = (q[1:] - q[:-1]) / h
-        com = np.asarray(sk.com_position(q, subject))
-        com_vel = (com[1:] - com[:-1]) * fps
-        speed = float(np.mean(np.linalg.norm(com_vel, axis=1)))
-        contacts, _ = contacts_mod.contact_detection(q, dq, subject, 0,
-                                                     speed, fps)
-        stance = kn.stance_matrix(contacts, 0, N)
-        base = d._replace(gmm=gp) if gp is not None else d
-        kds.append(kn.KineticData(
-            base=base, stance=jnp.asarray(stance),
-            grf_fixed=jnp.zeros((N, 4)),
-            grf_xy_fixed=jnp.zeros((N, 4, 4)),
-            use_fixed_grf=jnp.asarray(0.0), q_warm=jnp.asarray(q)))
-        qws.append(q)
-    return pbatch.pad_and_stack_kinetic(kds, qws, n_frames=n_frames,
-                                        dtype=dtype)
+    # All prep stays on the host CPU: on a tunneled accelerator backend each
+    # distinct-shape scrap op costs a ~0.4 s compile round-trip, and there
+    # are hundreds of them across the per-trial loop (the jitted solve
+    # transfers the one stacked batch to the device at call time anyway).
+    with jax.default_device(jax.devices("cpu")[0]):
+        gp = None
+        if use_gmm:
+            try:
+                df = prior_ds.load_pose_dataset(est_mod.DATA_DRIVEN_DATASET)
+                gp = gmm_mod.to_solver_prior(gmm_mod.fit(
+                    df.iloc[:, 6:28].to_numpy(), n_components=5, seed=42))
+            except (OSError, ValueError):
+                gp = None
+        # one padded FK call for every trial's foot kinematics and CoM (a
+        # per-trial call would recompile for each distinct trial length)
+        B = len(qs_default)
+        Nmax = max(np.asarray(q).shape[0] for q in qs_default)
+        qp = np.zeros((B, Nmax, qs_default[0].shape[1]))
+        dqp = np.zeros_like(qp)
+        for i, (q, fps) in enumerate(zip(qs_default, fpss)):
+            q = np.asarray(q, np.float64)
+            qp[i, : q.shape[0]] = q
+            dqp[i, 1: q.shape[0]] = (q[1:] - q[:-1]) * fps
+        h_all, v_all = contacts_mod.foot_kinematics(
+            qp.reshape(-1, qp.shape[-1]), dqp.reshape(-1, qp.shape[-1]),
+            subject)
+        h_all = h_all.reshape(B, Nmax, -1)
+        v_all = v_all.reshape(B, Nmax, h_all.shape[-1], 3)
+        com_all = np.asarray(sk.com_position(
+            qp.reshape(-1, qp.shape[-1]), subject)).reshape(B, Nmax, 3)
+
+        kds, qws = [], []
+        for i, (d, q, fps) in enumerate(zip(datas, qs_default, fpss)):
+            q = np.asarray(q, np.float64)
+            N = q.shape[0]
+            h = 1.0 / fps
+            dq = np.zeros_like(q)
+            dq[1:] = (q[1:] - q[:-1]) / h
+            com_vel = (com_all[i, 1:N] - com_all[i, :N - 1]) * fps
+            speed = float(np.mean(np.linalg.norm(com_vel, axis=1)))
+            contacts, _ = contacts_mod.contact_detection(
+                q, dq, subject, 0, speed, fps,
+                foot_kin=(h_all[i, :N], v_all[i, :N]))
+            stance = kn.stance_matrix(contacts, 0, N)
+            base = d._replace(gmm=gp) if gp is not None else d
+            kds.append(kn.KineticData(
+                base=base, stance=jnp.asarray(stance),
+                grf_fixed=jnp.zeros((N, 4)),
+                grf_xy_fixed=jnp.zeros((N, 4, 4)),
+                use_fixed_grf=jnp.asarray(0.0), q_warm=jnp.asarray(q)))
+            qws.append(q)
+        return pbatch.pad_and_stack_kinetic(kds, qws, n_frames=n_frames,
+                                            dtype=dtype)

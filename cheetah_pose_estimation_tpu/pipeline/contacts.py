@@ -76,15 +76,19 @@ def foot_kinematics(q: np.ndarray, dq: np.ndarray,
 def contact_detection(q: np.ndarray, dq: np.ndarray, subject: SubjectParams,
                       start_frame: int, speed: float, fps: float,
                       data_dir: Optional[str] = None,
-                      ground_plane_height: float = 0.0
-                      ) -> Tuple[Dict, Dict]:
+                      ground_plane_height: float = 0.0,
+                      foot_kin: Optional[Tuple[np.ndarray, np.ndarray]]
+                      = None) -> Tuple[Dict, Dict]:
     """Heuristic stance detection (reference ``contact_detection``,
     acinoset_misc.py:745-856). Returns (contacts, contacts_tmp) and, when
-    ``data_dir`` is given, writes grf/autogen-contact[-02].json."""
+    ``data_dir`` is given, writes grf/autogen-contact[-02].json.
+    ``foot_kin`` optionally supplies precomputed (heights, velocities) so a
+    batch caller can evaluate the FK for many trials in one padded call."""
     stance_time_fe = round(STANCE_TIME_MODEL.predict(speed) * fps)
     mid_way = stance_time_fe // 2
     is_even = (stance_time_fe % 2) == 0
-    heights, vels = foot_kinematics(q, dq, subject)
+    heights, vels = foot_kin if foot_kin is not None \
+        else foot_kinematics(q, dq, subject)
     N = q.shape[0]
     contacts: Dict[str, Optional[List]] = {}
     contacts_tmp: Dict[str, Optional[List]] = {}

@@ -90,9 +90,12 @@ def fit_multitask_lasso(X: np.ndarray, y: np.ndarray, alpha: float = 1e-2,
                         zero_clip: float = 1e-10
                         ) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (coef (d_out, d_in), intercept (d_out,))."""
+    from .gmm import _host_cpu
+
     Xm, ym = X.mean(axis=0), y.mean(axis=0)
-    W = np.array(_fista(jnp.asarray(X - Xm), jnp.asarray(y - ym),
-                        jnp.asarray(alpha, X.dtype), iters))
+    with _host_cpu():
+        W = np.array(_fista(jnp.asarray(X - Xm), jnp.asarray(y - ym),
+                            jnp.asarray(alpha, X.dtype), iters))
     W[np.abs(W) < zero_clip] = 0.0
     intercept = ym - W @ Xm
     return W, intercept

@@ -16,6 +16,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _host_cpu():
+    """Offline training runs on the host CPU: the per-step dispatch latency
+    of a tunneled accelerator backend dwarfs the arithmetic for these tiny
+    (thousands x tens) problems, and the host supports true float64."""
+    return jax.default_device(jax.devices("cpu")[0])
+
+
 class GMMParams(NamedTuple):
     weights: jnp.ndarray   # (K,)
     means: jnp.ndarray     # (K, D)
@@ -66,6 +73,11 @@ def fit(X: np.ndarray, n_components: int, seed: int = 42,
         max_iter: int = 200, tol: float = 1e-4,
         reg_covar: float = 1e-6) -> GMMParams:
     """Full-covariance EM. Returns mixture parameters."""
+    with _host_cpu():
+        return _fit(X, n_components, seed, max_iter, tol, reg_covar)
+
+
+def _fit(X, n_components, seed, max_iter, tol, reg_covar) -> GMMParams:
     X = jnp.asarray(np.asarray(X, dtype=np.float64))
     n, D = X.shape
     k = n_components
@@ -96,10 +108,11 @@ def fit(X: np.ndarray, n_components: int, seed: int = 42,
 def score(params: GMMParams, X: np.ndarray,
           reg_covar: float = 1e-6) -> float:
     """Mean per-sample log-likelihood (sklearn ``GaussianMixture.score``)."""
-    X = jnp.asarray(np.asarray(X, dtype=np.float64))
-    logp = _log_gaussians(X, params.means, params.covs, reg_covar) \
-        + jnp.log(params.weights)[None]
-    return float(jnp.mean(jax.scipy.special.logsumexp(logp, axis=1)))
+    with _host_cpu():
+        X = jnp.asarray(np.asarray(X, dtype=np.float64))
+        logp = _log_gaussians(X, params.means, params.covs, reg_covar) \
+            + jnp.log(params.weights)[None]
+        return float(jnp.mean(jax.scipy.special.logsumexp(logp, axis=1)))
 
 
 def to_solver_prior(params: GMMParams):
