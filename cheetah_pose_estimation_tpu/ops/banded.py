@@ -90,7 +90,8 @@ def cholesky(H: BlockBanded) -> BlockBanded:
     Hoff = jnp.zeros((B, N, d, d), dtype)
     for k in range(1, B + 1):
         # H[t, t-k] = lower[k-1, t-k]
-        Hoff = Hoff.at[k - 1, k:].set(H.lower[k - 1, : N - k])
+        if N - k > 0:
+            Hoff = Hoff.at[k - 1, k:].set(H.lower[k - 1, : N - k])
 
     def step(rows, inp):
         hdiag, hoff = inp  # hoff[j-1] = H[t, t-j]
@@ -117,7 +118,8 @@ def cholesky(H: BlockBanded) -> BlockBanded:
     Ldiag = Lrows[:, B]
     Llower = jnp.zeros((B, N, d, d), dtype)
     for k in range(1, B + 1):
-        Llower = Llower.at[k - 1, : N - k].set(Lrows[k:, B - k])
+        if N - k > 0:
+            Llower = Llower.at[k - 1, : N - k].set(Lrows[k:, B - k])
     return BlockBanded(diag=Ldiag, lower=Llower)
 
 
@@ -166,6 +168,141 @@ def solve_factored(L: BlockBanded, b: jnp.ndarray) -> jnp.ndarray:
 def solve(H: BlockBanded, b: jnp.ndarray) -> jnp.ndarray:
     """Solve H x = b for SPD block-banded H. b: (N, d)."""
     return solve_factored(cholesky(H), b)
+
+
+def _tridiagonalize(H: BlockBanded, b: jnp.ndarray
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Regroup a block-banded SPD system into block-tridiagonal form.
+
+    Frames are grouped ``s = bandwidth`` at a time into super-blocks of size
+    D = s*d; couplings then reach only the adjacent super-block, giving the
+    tridiagonal system  C_i x_{i-1} + A_i x_i + C_{i+1}^T x_{i+1} = b_i.
+    Padded frames get identity diagonal / zero rhs (fully decoupled).
+
+    Returns (A: (M, D, D), C: (M, D, D) with C[0] = 0, bs: (M, D)).
+    """
+    N, s, d = H.nblocks, H.bandwidth, H.block
+    dtype = H.diag.dtype
+    M = -(-N // s)
+    Np = M * s
+    eye = jnp.eye(d, dtype=dtype)
+    diag = jnp.concatenate(
+        [H.diag, jnp.broadcast_to(eye, (Np - N, d, d))], axis=0)
+    # zero structurally-invalid trailing entries, then pad the frame axis
+    lower = jnp.zeros((s, Np, d, d), dtype)
+    for k in range(1, s + 1):
+        nv = max(N - k, 0)
+        if nv:
+            lower = lower.at[k - 1, :nv].set(H.lower[k - 1, :nv])
+
+    A = jnp.zeros((M, s, s, d, d), dtype)
+    C = jnp.zeros((M, s, s, d, d), dtype)
+    idx = jnp.arange(M) * s
+    for u in range(s):
+        A = A.at[:, u, u].set(diag[idx + u])
+        for v in range(u):
+            blk = lower[u - v - 1][idx + v]      # H[i*s+u, i*s+v]
+            A = A.at[:, u, v].set(blk)
+            A = A.at[:, v, u].set(jnp.swapaxes(blk, -1, -2))
+        for v in range(u, s):
+            # C_i[u, v] = H[i*s+u, (i-1)*s+v], offset k = s + u - v in [1, s]
+            k = s + u - v
+            if k <= s:
+                blk = lower[k - 1][jnp.maximum(idx - s + v, 0)]
+                C = C.at[1:, u, v].set(blk[1:])
+    A = A.transpose(0, 1, 3, 2, 4).reshape(M, s * d, s * d)
+    C = C.transpose(0, 1, 3, 2, 4).reshape(M, s * d, s * d)
+    bs = jnp.concatenate([b, jnp.zeros((Np - N, d), dtype)],
+                         axis=0).reshape(M, s * d)
+    return A, C, bs
+
+
+def _cr_solve_tridiag(A: jnp.ndarray, C: jnp.ndarray,
+                      b: jnp.ndarray) -> jnp.ndarray:
+    """Block cyclic reduction for an SPD block-tridiagonal system.
+
+    Solves  C_i x_{i-1} + A_i x_i + C_{i+1}^T x_{i+1} = b_i  (C[0] = 0).
+    Each level eliminates the odd-indexed blocks with batched Cholesky
+    solves — O(log M) levels of large batched matmuls instead of an O(M)
+    sequential scan, the parallel-in-time factorization strategy for long
+    trials (SURVEY §5/§7: cyclic reduction over the time axis).
+
+    The eliminated diagonal blocks are Schur complements of an SPD matrix,
+    so every level stays SPD and Cholesky-factorizable.
+    """
+    M, D = A.shape[0], A.shape[-1]
+    dtype = A.dtype
+
+    def chol_solve(L, X):
+        y = solve_triangular(L, X, lower=True)
+        return solve_triangular(L, y, lower=True, trans=1)
+
+    levels = []
+    while M > 1:
+        if M % 2 == 1:
+            A = jnp.concatenate(
+                [A, jnp.eye(D, dtype=dtype)[None]], axis=0)
+            C = jnp.concatenate([C, jnp.zeros((1, D, D), dtype)], axis=0)
+            b = jnp.concatenate([b, jnp.zeros((1, D), dtype)], axis=0)
+            M += 1
+        Ao, Co, bo = A[1::2], C[1::2], b[1::2]          # odd i = 2j+1
+        Ae, Ce, be = A[0::2], C[0::2], b[0::2]          # even i = 2j (kept)
+        K = M // 2
+        Lo = jnp.linalg.cholesky(Ao)                    # (K, D, D)
+        # right-neighbor coupling of odd 2j+1 is C_{2j+2}; none for i = M-1
+        Cr = jnp.concatenate([Ce[1:], jnp.zeros((1, D, D), dtype)], axis=0)
+        # A_o^{-1} [C_o, C_r^T, b_o] in one batched triangular solve pair
+        rhs = jnp.concatenate(
+            [Co, jnp.swapaxes(Cr, -1, -2), bo[..., None]], axis=-1)
+        sol = jax.vmap(chol_solve)(Lo, rhs)
+        Gi = sol[..., :D]                               # G_j = A^{-1} C_{2j+1}
+        Hi = sol[..., D:2 * D]                          # H_j = A^{-1} C_{2j+2}^T
+        yi = sol[..., -1]                               # y_j = A^{-1} b_{2j+1}
+        # elimination of x_{2j+1} = y_j - G_j x_{2j} - H_j x_{2j+2} into the
+        # kept rows; the left odd neighbor of kept 2j is index j-1 (shift by 1)
+        Hl = jnp.concatenate([jnp.zeros((1, D, D), dtype), Hi[:-1]], axis=0)
+        Gl = jnp.concatenate([jnp.zeros((1, D, D), dtype), Gi[:-1]], axis=0)
+        yl = jnp.concatenate([jnp.zeros((1, D), dtype), yi[:-1]], axis=0)
+        CoT = jnp.swapaxes(Co, -1, -2)
+        A_new = Ae - Ce @ Hl - CoT @ Gi
+        C_new = -(Ce @ Gl)
+        b_new = be - jnp.einsum("kij,kj->ki", Ce, yl) \
+            - jnp.einsum("kij,kj->ki", CoT, yi)
+        levels.append((Co, Cr, Lo, bo))
+        A, C, b = A_new, C_new, b_new
+        M = K
+
+    L0 = jnp.linalg.cholesky(A[0])
+    x = solve_triangular(
+        L0, solve_triangular(L0, b[0], lower=True), lower=True, trans=1)[None]
+
+    for Co, Cr, Lo, bo in reversed(levels):
+        K = Co.shape[0]
+        # a deeper level may have padded its odd entry count; the pad is
+        # decoupled (identity block, zero rhs -> zero solution), so trim
+        x = x[:K]
+        # x holds the kept (even) entries; recover the odd ones:
+        # x_{2j+1} = A^{-1} (b - C_{2j+1} x_{2j} - C_{2j+2}^T x_{2j+2})
+        x_right = jnp.concatenate(
+            [x[1:], jnp.zeros((1, x.shape[-1]), dtype)], axis=0)
+        r = bo - jnp.einsum("kij,kj->ki", Co, x) \
+            - jnp.einsum("kji,kj->ki", Cr, x_right)
+        xo = jax.vmap(chol_solve)(Lo, r[..., None])[..., 0]
+        x = jnp.stack([x, xo], axis=1).reshape(2 * K, -1)
+    return x
+
+
+def cr_solve(H: BlockBanded, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve H x = b by block cyclic reduction over the time axis.
+
+    Same interface as :func:`solve`; O(log N) parallel depth instead of the
+    scan's O(N), at ~2x the FLOPs. The method of choice for long trials or
+    small batch counts where the sequential scan underutilizes the chip.
+    """
+    N, d = H.nblocks, H.block
+    A, C, bs = _tridiagonalize(H, b)
+    x = _cr_solve_tridiag(A, C, bs)
+    return x.reshape(-1, d)[:N]
 
 
 def add_diag_damping(H: BlockBanded, lam: jnp.ndarray,

@@ -29,6 +29,10 @@ class LMConfig(NamedTuple):
     ftol: float = 1e-8   # relative cost decrease
     xtol: float = 0.0    # max |dq|
     diag_floor: float = 1e-8
+    # "scan": sequential banded Cholesky over time (lowest FLOPs; the batch
+    # axis provides the parallelism). "cr": block cyclic reduction — O(log N)
+    # parallel depth for long trials / small batches (SURVEY §5/§7).
+    linear_solver: str = "scan"
 
 
 class LMState(NamedTuple):
@@ -41,7 +45,8 @@ class LMState(NamedTuple):
     n_accepted: jnp.ndarray
 
 
-def _scaled_solve(g, H: banded.BlockBanded, lam, diag_floor):
+def _scaled_solve(g, H: banded.BlockBanded, lam, diag_floor,
+                  linear_solver: str = "scan"):
     """Solve (H + lam * diag(H)) dq = -g via symmetric Jacobi scaling.
 
     Scaling by S = diag(H)^{-1/2} both implements Marquardt's diagonal
@@ -61,14 +66,15 @@ def _scaled_solve(g, H: banded.BlockBanded, lam, diag_floor):
             H.lower[k - 1] * sk[:, :, None] * s[:, None, :])
     eye = jnp.eye(H.diag.shape[-1], dtype=H.diag.dtype)
     Hs = banded.BlockBanded(Hs_diag + lam * eye[None], Hs_lower)
-    y = banded.solve(Hs, -(g * s))
+    solve = banded.cr_solve if linear_solver == "cr" else banded.solve
+    y = solve(Hs, -(g * s))
     return y * s
 
 
 def _lm_step(s: LMState, cost_fn, normal_fn, config: LMConfig) -> LMState:
     """One damped-GN attempt with Nielsen's gain-ratio damping update."""
     g, H = normal_fn(s.q)
-    dq = _scaled_solve(g, H, s.lam, config.diag_floor)
+    dq = _scaled_solve(g, H, s.lam, config.diag_floor, config.linear_solver)
     qn = s.q + dq
     cn = cost_fn(qn)
     # predicted decrease under the quadratic model (H PSD => positive)

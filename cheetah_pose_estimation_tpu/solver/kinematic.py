@@ -452,7 +452,8 @@ class KinematicFTE:
     def make_solver(self,
                     stages: Tuple[Tuple[float, int], ...] = (
                         (10.0, 30), (3.0, 30), (1.0, 150)),
-                    ftol: float = 1e-9, lam0: float = 1e-2):
+                    ftol: float = 1e-9, lam0: float = 1e-2,
+                    linear_solver: str = "scan"):
         """Jitted graduated-non-convexity solve: anneal the redescending loss
         thresholds (scale s: wide -> 1) so early iterations see gradient
         everywhere, then tighten to the reference's exact (3, 10, 20) loss.
@@ -461,7 +462,7 @@ class KinematicFTE:
         (jax.vmap(run)).
         """
         from . import gn as gn_mod
-        key = (stages, ftol, lam0)
+        key = (stages, ftol, lam0, linear_solver)
         if key in self._solve_cache:
             return self._solve_cache[key]
 
@@ -481,7 +482,8 @@ class KinematicFTE:
                 normal_fn = lambda q, s: self._normal(q, data, s)
                 return gn_mod.lm_solve_annealed(
                     cost_fn, normal_fn, q0, stages_eff,
-                    gn_mod.LMConfig(ftol=ftol, lam0=lam0))
+                    gn_mod.LMConfig(ftol=ftol, lam0=lam0,
+                                    linear_solver=linear_solver))
 
         run_jit = jax.jit(run)
         self._solve_cache[key] = run_jit

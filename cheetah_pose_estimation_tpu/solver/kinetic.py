@@ -392,9 +392,9 @@ class KineticFTE:
 
     # ------------------------------------------------------------------
     def make_solver(self, stages=((3.0, 20), (1.0, 80)), ftol: float = 1e-9,
-                    lam0: float = 1e-2):
+                    lam0: float = 1e-2, linear_solver: str = "scan"):
         from . import gn as gn_mod
-        key = (stages, ftol, lam0)
+        key = (stages, ftol, lam0, linear_solver)
         if key in self._solve_cache:
             return self._solve_cache[key]
 
@@ -408,7 +408,8 @@ class KineticFTE:
                 normal_fn = lambda qq, s: self._normal(qq, data, s)
                 return gn_mod.lm_solve_annealed(
                     cost_fn, normal_fn, q0, stages,
-                    gn_mod.LMConfig(ftol=ftol, lam0=lam0))
+                    gn_mod.LMConfig(ftol=ftol, lam0=lam0,
+                                    linear_solver=linear_solver))
 
         run_jit = jax.jit(run)
         self._solve_cache[key] = run_jit

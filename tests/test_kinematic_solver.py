@@ -124,3 +124,31 @@ def test_end_to_end_multiview_recovery():
     # solver should reach at least the cost of the ground-truth configuration
     # (GT is not the optimum of the noisy objective, so this is achievable)
     assert float(state.cost) <= float(fte.cost(jnp.asarray(q_gt), data))
+
+
+def test_cr_linear_solver_equivalent():
+    """The cyclic-reduction linear solver yields the same reconstruction as
+    the sequential scan (same LM path up to roundoff)."""
+    if not os.path.exists(REF_PICKLE):
+        pytest.skip("reference pickle unavailable")
+    from cheetah_pose_estimation_tpu.pipeline import initialization as init
+    with open(REF_PICKLE, "rb") as f:
+        q_gt = pickle.load(f)["q"][:24]
+    subject = P.get_subject("phantom")
+    markers = np.asarray(sk.fk_markers(q_gt, subject))
+    scene = syn.ring_cameras(markers.mean(axis=(0, 1)), n_cams=4, seed=5)
+    trial = syn.synthesize(q_gt, subject, scene, noise_px=1.5, seed=5,
+                           subject_name="phantom")
+    fte = kin.KinematicFTE(kin.KinematicConfig(), subject)
+    data = _make_data(trial)
+    q0 = jnp.asarray(init.initialize_trajectory(
+        trial.meas, syn.gated_weights(trial), scene.K, scene.D, scene.R,
+        scene.t, subject, fisheye=True))
+    stages = ((3.0, 10), (1.0, 30))
+    st_scan = fte.make_solver(stages=stages)(q0, data)
+    st_cr = fte.make_solver(stages=stages, linear_solver="cr")(q0, data)
+    # identical accept/reject path in f64 => same iterate to tight tolerance
+    np.testing.assert_allclose(np.asarray(st_cr.q), np.asarray(st_scan.q),
+                               atol=1e-6)
+    assert abs(float(st_cr.cost) - float(st_scan.cost)) \
+        <= 1e-8 * max(1.0, float(st_scan.cost))
