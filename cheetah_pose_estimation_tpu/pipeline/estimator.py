@@ -436,19 +436,23 @@ def estimate_kinematics(est: CheetahEstimator,
                 jnp.asarray(valid)))
         est.data = data
 
+    use_shutter = p.enable_shutter_delay_estimation and scene.cam_idx is None
     cfg = kin.KinematicConfig(
         fisheye=not p.kinetic_dataset, robust=not p.hand_labeled_data,
         use_gmm=use_gmm, use_ar=use_ar,
         kinetic_dataset=p.kinetic_dataset,
+        live_shutter=use_shutter,
         cam_multipliers=(1.0, 1.0, 0.6, 0.6) if p.kinetic_dataset else ())
     fte = kin.KinematicFTE(cfg, est.subject)
     est.fte = fte
     run = fte.make_solver()
     state = run(jnp.asarray(q0), data)
-    if p.enable_shutter_delay_estimation and scene.cam_idx is None:
+    if use_shutter:
         # alternate: fit per-camera shutter delays by 1-D scans at fixed q,
-        # refresh the lagged base-velocity terms, re-solve (reference couples
-        # tau as live variables, acinoset_misc.py:180-286; camera 0 pinned)
+        # then re-solve with tau LIVE-coupled to the trajectory (the shift's
+        # base dq/ddq terms are functions of the current q inside the
+        # residual with an exact chain-rule gradient — the reference's joint
+        # coupling, acinoset_misc.py:278-288; camera 0 pinned)
         for _ in range(2):
             data, tau = _fit_shutter_delays(fte, state.q, data, scene)
             state = run(state.q, data)

@@ -89,6 +89,12 @@ class KinematicConfig:
     limit_penalty: float = 1e5
     curvature_floor: float = 1e-3
     cam_multipliers: Tuple[float, ...] = ()  # kinetic: (1,1,.6,.6)
+    # live shutter-delay coupling (reference acinoset_misc.py:278-288): the
+    # per-camera reprojection advances the pose by tau*dq + tau^2*ddq of the
+    # base, with dq/ddq the CURRENT trajectory's finite differences (exact
+    # gradient via the chain rule through the shift). False keeps the lagged
+    # sd_vel/sd_acc constants refreshed between alternating solves.
+    live_shutter: bool = False
     # absolute Tikhonov floor on the normal matrix diagonal. The skeleton has
     # exactly one unobservable DOF per leg/tail segment (rotation about the
     # cylinder axis: markers sit on the axis, and the reference gives those
@@ -256,12 +262,31 @@ class KinematicFTE:
             cam.K, cam.D, cam.R, cam.t, shift)
 
     @staticmethod
-    def _shutter_shift(data: KinematicData, N: int) -> jnp.ndarray:
-        """(N, C, 3) per-frame per-camera world shift tau*vel + tau^2*acc."""
+    def _base_derivatives(q: jnp.ndarray,
+                          h: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Implicit-Euler base velocity/acceleration from the trajectory:
+        vel[t] = (qb[t]-qb[t-1])/h, acc[t] = (vel[t]-vel[t-1])/h (zeros for
+        the first one/two frames, matching the collocation convention)."""
+        qb = q[:, :3]
+        vel = jnp.zeros_like(qb).at[1:].set((qb[1:] - qb[:-1]) / h)
+        acc = jnp.zeros_like(qb).at[2:].set((vel[2:] - vel[1:-1]) / h)
+        return vel, acc
+
+    def _shutter_shift(self, data: KinematicData, N: int,
+                       q: jnp.ndarray = None) -> jnp.ndarray:
+        """(N, C, 3) per-frame per-camera world shift tau*vel + tau^2*acc.
+
+        With ``config.live_shutter`` the base derivatives come from the
+        current ``q`` (live coupling, reference acinoset_misc.py:278-288);
+        otherwise from the lagged ``sd_vel``/``sd_acc`` constants."""
         tau = data.sd_tau
         C = data.meas.shape[1]
-        shift = (data.sd_vel[:, None, :] * tau[None, :, None]
-                 + data.sd_acc[:, None, :] * (tau ** 2)[None, :, None])
+        if self.config.live_shutter and q is not None:
+            vel, acc = self._base_derivatives(q, data.h)
+        else:
+            vel, acc = data.sd_vel, data.sd_acc
+        shift = (vel[:, None, :] * tau[None, :, None]
+                 + acc[:, None, :] * (tau ** 2)[None, :, None])
         return jnp.broadcast_to(shift, (N, C, 3))
 
     def _meas_weights(self, data: KinematicData) -> jnp.ndarray:
@@ -289,7 +314,7 @@ class KinematicFTE:
         w_all = self._meas_weights(data)
         s = jnp.asarray(loss_scale, q.dtype)
 
-        shift = self._shutter_shift(data, q.shape[0])
+        shift = self._shutter_shift(data, q.shape[0], q)
 
         def frame_meas_cost(q_t, meas_t, w_t, shift_t):
             pts = sk.fk_markers_linear(q_t, self.subject)
@@ -362,7 +387,7 @@ class KinematicFTE:
         proj = camera.project_fisheye if cfg.fisheye else \
             camera.project_pinhole
 
-        shift_all = self._shutter_shift(data, N)
+        shift_all = self._shutter_shift(data, N, q)
 
         def frame_terms(q_t, meas_t, w_t, shift_t):
             pts, Jm = sk.fk_markers_and_jacobian(q_t, self.subject)
@@ -386,10 +411,12 @@ class KinematicFTE:
             g_t = Jf.T @ jnp.sum(gw, axis=-1).reshape(-1)
             hsum = jnp.sum(hw, axis=-1).reshape(-1)      # (C*24*2,)
             H_t = (Jf * hsum[:, None]).T @ Jf
-            return g_t, H_t
+            # dC/dshift (per camera) for the live shutter chain rule
+            dshift = jnp.einsum("cmdw,cmdi->ci", gw, Juv)
+            return g_t, H_t, dshift
 
-        g_meas, H_meas = jax.vmap(frame_terms)(q, data.meas, w_all,
-                                               shift_all)
+        g_meas, H_meas, dshift = jax.vmap(frame_terms)(q, data.meas, w_all,
+                                                       shift_all)
 
         # constant-acceleration banded quadratic (linear -> exact)
         H_acc = acc_banded(data.h, data.acc_weight, data.frame_valid)
@@ -397,6 +424,28 @@ class KinematicFTE:
 
         Hdiag = H_acc.diag + H_meas
         g = g_acc + g_meas
+
+        if cfg.live_shutter:
+            # exact chain rule through shift = tau*vel(q) + tau^2*acc(q):
+            # vel[t] = (qb[t]-qb[t-1])/h, acc[t] = 2nd difference / h^2, so
+            # d shift[t,c] / d qb[t-j] has scalar coefficients below. The
+            # curvature contribution is left to LM damping (the gradient is
+            # what fixes the optimum).
+            tau = data.sd_tau.astype(dtype)
+            h = data.h
+            mv = (jnp.arange(N) >= 1).astype(dtype)       # vel defined t>=1
+            ma = (jnp.arange(N) >= 2).astype(dtype)       # acc defined t>=2
+            a_v = tau / h                                  # d vel term
+            a_a = (tau ** 2) / (h * h)                     # d acc term
+            # contributions of frame t's shift onto qb[t], qb[t-1], qb[t-2]
+            c0 = jnp.einsum("tci,c->ti", dshift, a_v) * mv[:, None] \
+                + jnp.einsum("tci,c->ti", dshift, a_a) * ma[:, None]
+            c1 = -jnp.einsum("tci,c->ti", dshift, a_v) * mv[:, None] \
+                - 2.0 * jnp.einsum("tci,c->ti", dshift, a_a) * ma[:, None]
+            c2 = jnp.einsum("tci,c->ti", dshift, a_a) * ma[:, None]
+            g = g.at[:, :3].add(c0)
+            g = g.at[:-1, :3].add(c1[1:])
+            g = g.at[:-2, :3].add(c2[2:])
 
         if cfg.use_gmm:
             A22 = jnp.asarray(self._A22, dtype)

@@ -152,3 +152,71 @@ def test_cr_linear_solver_equivalent():
                                atol=1e-6)
     assert abs(float(st_cr.cost) - float(st_scan.cost)) \
         <= 1e-8 * max(1.0, float(st_scan.cost))
+
+
+def test_live_shutter_gradient_matches_autodiff():
+    """With live shutter coupling the measurement term depends on q[t-2..t]
+    through the shift; the analytic chain-rule gradient must match autodiff
+    of the cost exactly."""
+    trial, subject = _small_trial(n=9, n_cams=3, seed=2)
+    cfg = kin.KinematicConfig(fisheye=True, robust=True, live_shutter=True)
+    fte = kin.KinematicFTE(cfg, subject)
+    data = _make_data(trial)
+    h = float(data.h)
+    data = data._replace(sd_tau=jnp.asarray([0.0, 0.4 * h, -0.7 * h]))
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(trial.q_gt + rng.normal(scale=0.05,
+                                            size=trial.q_gt.shape))
+    g, _ = fte.normal(q, data)
+    g_ref = jax.grad(lambda qq: fte._cost(qq, data))(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_live_shutter_solve_accounts_for_delay():
+    """A camera observing tau seconds late biases the lagged solver; the
+    live-coupled solve with the true tau must beat the tau=0 solve."""
+    from cheetah_pose_estimation_tpu.ops import camera as cam_ops
+    subject = P.get_subject("acinoset")
+    q_gt = syn.gallop_trajectory(n_frames=20, seed=4)
+    center = np.asarray(sk.fk_markers(q_gt, subject)).mean(axis=(0, 1))
+    scene = syn.ring_cameras(center, n_cams=3, seed=4)
+    trial = syn.synthesize(q_gt, subject, scene, noise_px=0.5, seed=4)
+    h = 1.0 / scene.fps
+    tau_true = np.array([0.0, 0.5 * h, -0.5 * h])
+    # re-render cameras 1,2 with a genuine sub-frame delay: project the
+    # pose advanced along its base velocity/acceleration
+    qb = np.asarray(q_gt[:, :3])
+    vel = np.zeros_like(qb); vel[1:] = (qb[1:] - qb[:-1]) / h
+    acc = np.zeros_like(qb); acc[2:] = (vel[2:] - vel[1:-1]) / h
+    meas = np.asarray(trial.meas)
+    for c in (1, 2):
+        shift = vel * tau_true[c] + acc * tau_true[c] ** 2
+        for t in range(q_gt.shape[0]):
+            pts = np.asarray(sk.fk_markers_linear(jnp.asarray(q_gt[t]),
+                                                  subject)) + shift[t]
+            uv = np.asarray(cam_ops.project_fisheye(
+                jnp.asarray(pts), jnp.asarray(scene.K[c]),
+                jnp.asarray(scene.D[c]), jnp.asarray(scene.R[c]),
+                jnp.asarray(scene.t[c])))
+            meas[t, c, :, :, 0] = uv + np.asarray(
+                np.random.default_rng(t * 10 + c).normal(0, 0.5,
+                                                         uv.shape))
+    trial = trial._replace(meas=jnp.asarray(meas))
+    data = _make_data(trial)
+    q0 = jnp.asarray(q_gt + np.random.default_rng(5).normal(
+        0, 0.03, q_gt.shape))
+    stages = ((3.0, 10), (1.0, 40))
+
+    fte0 = kin.KinematicFTE(kin.KinematicConfig(), subject)
+    st0 = fte0.make_solver(stages=stages)(q0, data)
+
+    fte1 = kin.KinematicFTE(kin.KinematicConfig(live_shutter=True), subject)
+    d1 = data._replace(sd_tau=jnp.asarray(tau_true))
+    st1 = fte1.make_solver(stages=stages)(q0, d1)
+
+    def mpe(qs):
+        rec = np.asarray(sk.fk_markers(np.asarray(qs), subject))
+        return np.mean(np.linalg.norm(rec - trial.markers_gt, axis=2))
+
+    assert mpe(st1.q) < mpe(st0.q) * 0.9, (mpe(st1.q), mpe(st0.q))
