@@ -91,10 +91,21 @@ def _lm_step(s: LMState, cost_fn, normal_fn, config: LMConfig) -> LMState:
     nu_new = jnp.where(accept, jnp.asarray(2.0, s.nu.dtype),
                        jnp.minimum(s.nu * 2.0, 1e8))
     lam_new = jnp.where(s.done, s.lam, lam_new)
+    # ftol below the dtype's resolution is unreachable (in f32 the cost
+    # cannot resolve relative changes under ~1.2e-7, so lanes would burn
+    # max_iters making sub-epsilon "progress"): floor it at 8 eps.
+    ftol_eff = jnp.maximum(
+        jnp.asarray(config.ftol, s.cost.dtype),
+        8.0 * jnp.finfo(s.cost.dtype).eps)
     rel_drop = (s.cost - cn) / jnp.maximum(jnp.abs(s.cost), 1e-30)
     small_step = jnp.max(jnp.abs(dq)) <= config.xtol
     converged = jnp.logical_and(
-        accept, jnp.logical_or(rel_drop < config.ftol, small_step))
+        accept, jnp.logical_or(rel_drop < ftol_eff, small_step))
+    # no-progress stall: the quadratic model itself predicts a negligible
+    # decrease and the step still got rejected — no descent available
+    tiny_pred = pred <= ftol_eff * jnp.maximum(jnp.abs(s.cost), 1e-30)
+    converged = jnp.logical_or(
+        converged, jnp.logical_and(jnp.logical_not(improved), tiny_pred))
     stalled = s.lam >= config.lam_max
     done_new = jnp.logical_or(s.done, jnp.logical_or(converged, stalled))
     return LMState(q=q_new, cost=cost_new, lam=lam_new, nu=nu_new,
