@@ -535,3 +535,190 @@ def plot_3d_pose(fte_pickle_path: str, pose_idx: int, subject,
     fig.savefig(out_path, bbox_inches="tight")
     plt.close(fig)
     return ll1, ll2
+
+
+def std_dev(predictions: np.ndarray, targets: np.ndarray) -> float:
+    """NaN-aware standard deviation of the residuals (reference
+    results.py:497-500)."""
+    return float(np.nanstd((np.asarray(predictions, float)
+                            - np.asarray(targets, float)).flatten()))
+
+
+def check_joint_estimation(root_dir: str, dir_prefix: str,
+                           cheetah: str = "shiraz", date: str = "2009_09_08",
+                           trial: str = "04") -> Dict[str, float]:
+    """Compare a joint-estimation kinetic solution against the reference
+    kinetic solution for the same trial: root-relative MPJPE + torque RMSE
+    (reference ``check_joint_estimation``, results.py:141-191)."""
+    from . import metrics as metrics_mod
+
+    data_path = os.path.join("kinetic_dataset", date, cheetah,
+                             f"trial{trial}")
+    fte_gt = dio.load_fte_pickle(os.path.join(
+        dir_prefix, data_path, "fte_kinetic", "fte.pickle"))
+    fte = dio.load_fte_pickle(os.path.join(
+        root_dir, data_path, "fte_kinetic", "fte.pickle"))
+    result, err, _ = metrics_mod.traj_error(
+        fte_gt["positions"].copy(), fte["positions"].copy(),
+        "joint estimation", centered=True)
+    tau_gt = np.concatenate([np.ravel(v) for v in fte_gt["tau"].values()])
+    tau = np.concatenate([np.ravel(v) for v in fte["tau"].values()])
+    n = min(len(tau_gt), len(tau))
+    tau_rmse = float(np.sqrt(np.nanmean((tau_gt[:n] - tau[:n]) ** 2)))
+    return {"mpjpe_mm": float(result.mean().iloc[0]),
+            "torque_rmse": tau_rmse}
+
+
+def example_robustness(root_dir: str, dir_prefix: str,
+                       test_run: Tuple[str, str, str] =
+                       ("phantom", "2019_03_07", "run"),
+                       cam_space: Tuple[int, ...] = (0, 1, 2, 3, 4, 5)
+                       ) -> Dict[str, List[float]]:
+    """Per-camera robustness bar chart for one trial: mean root-relative
+    MPJPE of default / data-driven / physics-based per camera index, saved
+    as example-cam-robustness.pdf (reference results.py:56-138)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from . import metrics as metrics_mod
+
+    cheetah, date, trial = test_run
+    data_path = os.path.join(date, cheetah, trial)
+    vals: Dict[str, List[float]] = {
+        "single_traj_error": [], "data_driven_traj_error": [],
+        "physics_based_traj_error": []}
+    cams: List[int] = []
+    gt_path = os.path.join(dir_prefix, data_path, "fte_kinematic",
+                           "fte.pickle")
+    gt = dio.load_fte_pickle(gt_path)["positions"]
+    for cam_idx in cam_space:
+        base = os.path.join(dir_prefix, data_path)
+        paths = {k: os.path.join(base, f"{k}_{cam_idx}", "fte.pickle")
+                 for k in ("fte_kinematic_orig", "fte_kinematic",
+                           "fte_kinetic")}
+        if not all(os.path.exists(p) for p in paths.values()):
+            continue
+        cams.append(cam_idx)
+        for key, p in zip(("single_traj_error", "data_driven_traj_error",
+                           "physics_based_traj_error"), paths.values()):
+            pos = dio.load_fte_pickle(p)["positions"]
+            _, err, _ = metrics_mod.traj_error(gt.copy(), pos.copy(),
+                                               centered=True, verbose=False)
+            vals[key].append(float(err.mean()))
+    if cams:
+        fig = plt.figure(figsize=(16, 12), dpi=60)
+        width = 0.25
+        x = np.arange(len(cams))
+        plt.bar(x, vals["single_traj_error"], width, label="Default",
+                color="#36454f")
+        plt.bar(x + width, vals["data_driven_traj_error"], width,
+                label="Data-driven", color="#2ca02c")
+        plt.bar(x + 2 * width, vals["physics_based_traj_error"], width,
+                label="Physics-based", color="#ff7f0e")
+        plt.xticks(x + width, [str(c + 1) for c in cams])
+        plt.ylabel("MPJPE (mm)")
+        plt.xlabel("Camera")
+        plt.legend()
+        fig.savefig(os.path.join(dir_prefix, "example-cam-robustness.pdf"),
+                    bbox_inches="tight")
+        plt.close(fig)
+    return vals
+
+
+def data_driven_analysis(dir_prefix: str,
+                         pose_components: Tuple[int, ...] =
+                         (1, 2, 3, 4, 5, 6, 7),
+                         window_sizes: Tuple[int, ...] =
+                         (1, 2, 3, 4, 5, 6, 7)) -> Dict:
+    """Plot the model-selection curves written by
+    ``studies.model_selection_analysis`` (grid_search.pickle): GMM
+    train/validation likelihood vs components, AR train/validation RMSE and
+    non-zero counts vs window for L1/L2 (reference results.py:988-1046);
+    saved as PDFs next to the pickle."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..utils import data_ops
+
+    data = data_ops.load_pickle(os.path.join(dir_prefix,
+                                             "grid_search.pickle"))
+    nw = len(window_sizes)
+    fig = plt.figure(figsize=(16, 9), dpi=60)
+    plt.plot(pose_components, data["gmm_train_likelihood"], marker="o",
+             label="Train")
+    plt.plot(pose_components, data["gmm_validation_likelihood"], marker="o",
+             label="Test")
+    plt.xlabel("# Components")
+    plt.ylabel("Likelihood")
+    plt.legend()
+    fig.savefig(os.path.join(dir_prefix, "gmm_model_selection.pdf"),
+                bbox_inches="tight")
+    plt.close(fig)
+
+    fig = plt.figure(figsize=(16, 9), dpi=60)
+    axd = fig.subplot_mosaic([["left", "right"], ["bottom", "bottom"]])
+    axd["left"].plot(window_sizes, data["lr_train_rmse"][:nw], marker="o",
+                     label="Train")
+    axd["left"].plot(window_sizes, data["lr_validation_rmse"][:nw],
+                     marker="o", label="Test")
+    axd["left"].set_title("L1-norm")
+    axd["left"].set_ylabel("Model RMSE")
+    axd["left"].set_xlabel("Window Size")
+    axd["left"].legend()
+    axd["right"].plot(window_sizes, data["lr_train_rmse"][nw:], marker="o",
+                      label="Train")
+    axd["right"].plot(window_sizes, data["lr_validation_rmse"][nw:],
+                      marker="o", label="Test")
+    axd["right"].set_title("L2-norm")
+    axd["right"].set_ylabel("Model RMSE")
+    axd["right"].set_xlabel("Window Size")
+    axd["right"].legend()
+    axd["bottom"].plot(window_sizes, data["lr_non_zeros"][:nw], marker="o",
+                       label="L1-norm")
+    axd["bottom"].plot(window_sizes, data["lr_non_zeros"][nw:], marker="o",
+                       label="L2-norm")
+    axd["bottom"].set_ylabel("# Non-zero Parameters")
+    axd["bottom"].set_xlabel("Window Size")
+    axd["bottom"].legend()
+    fig.savefig(os.path.join(dir_prefix, "ar_model_selection.pdf"),
+                bbox_inches="tight")
+    plt.close(fig)
+    return data
+
+
+def animate_torque_plot(tau: Dict[str, np.ndarray], fps: float,
+                        out_path: str, force_scale: float = 1.0) -> None:
+    """Animated per-motor torque bar chart over the trajectory (reference
+    ``animate_torque_plot``, results.py:367-403), written as a GIF."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib import animation
+
+    names = list(tau.keys())
+    arrs = [np.atleast_2d(np.asarray(tau[k], float).T).T * force_scale
+            for k in names]
+    n_frames = min(a.shape[0] for a in arrs)
+    totals = [a.sum(axis=1) for a in arrs]
+    vmax = max(float(np.abs(t).max()) for t in totals) or 1.0
+
+    fig, ax = plt.subplots(figsize=(16, 9), dpi=50)
+    bars = ax.bar(range(len(names)), [t[0] for t in totals],
+                  color="#36454f")
+    ax.set_xticks(range(len(names)))
+    ax.set_xticklabels(names, rotation=45, ha="right", fontsize=7)
+    ax.set_ylim(-1.1 * vmax, 1.1 * vmax)
+    ax.set_ylabel("Torque")
+
+    def update(i):
+        for b, t in zip(bars, totals):
+            b.set_height(t[i])
+        ax.set_title(f"t = {i / fps:.3f} s")
+        return bars
+
+    anim = animation.FuncAnimation(fig, update, frames=n_frames,
+                                   blit=False)
+    anim.save(out_path, writer=animation.PillowWriter(fps=min(int(fps), 30)))
+    plt.close(fig)

@@ -563,9 +563,14 @@ def main(argv=None):
             run_monocular_all(args.root_dir, args.out_dir_prefix, test_set)
         print(distance_vs_error(args.root_dir, args.out_dir_prefix,
                                 test_set, cam_overrides))
+        from . import results as results_mod
+        results_mod.example_robustness(args.root_dir, args.out_dir_prefix)
     if args.run_grid_search:
+        from . import results as results_mod
         from . import studies
         studies.run_grid_search(args.root_dir, args.out_dir_prefix, test_set)
+        studies.model_selection_analysis(out_dir=args.out_dir_prefix)
+        results_mod.data_driven_analysis(args.out_dir_prefix)
     if args.run_data_driven_ablation_study:
         from . import studies
         studies.run_data_driven_ablation_study(args.root_dir,

@@ -172,3 +172,47 @@ def run_physics_based_ablation_study(root_dir: str, dir_prefix: str,
     df.to_csv(os.path.join(dir_prefix, "physics_based_ablation_results.csv"),
               index=False)
     return df
+
+
+def model_selection_analysis(data_driven_dataset: Optional[str] = None,
+                             pose_components: Tuple[int, ...] =
+                             (1, 2, 3, 4, 5, 6, 7),
+                             window_sizes: Tuple[int, ...] =
+                             (1, 2, 3, 4, 5, 6, 7),
+                             out_dir: Optional[str] = None) -> Dict:
+    """Model-level hyper-parameter curves (reference run_grid_search's model
+    statistics, run_dataset.py:813-915): GMM train/validation mean
+    log-likelihood per component count, and AR train/validation RMSE +
+    non-zero parameter counts per window size for L1 then L2 regression.
+    Saves ``grid_search.pickle`` with the reference's key schema so
+    ``results.data_driven_analysis`` can plot it."""
+    from ..priors import armodel, dataset as prior_ds, gmm as gmm_mod
+    from ..utils import data_ops
+
+    dset = data_driven_dataset or est_mod.DATA_DRIVEN_DATASET
+    df = prior_ds.load_pose_dataset(dset)
+    vpath = os.path.join(os.path.dirname(dset), "validation_dataset.h5")
+    dfv = prior_ds.load_pose_dataset(vpath)
+    X = df.iloc[:, 6:28].to_numpy()
+    Xv = dfv.iloc[:, 6:28].to_numpy()
+
+    out: Dict[str, List[float]] = {
+        "gmm_train_likelihood": [], "gmm_validation_likelihood": [],
+        "lr_train_rmse": [], "lr_validation_rmse": [], "lr_non_zeros": []}
+    for k in pose_components:
+        params = gmm_mod.fit(X, n_components=k, seed=42)
+        out["gmm_train_likelihood"].append(gmm_mod.score(params, X))
+        out["gmm_validation_likelihood"].append(gmm_mod.score(params, Xv))
+    for lasso in (True, False):                      # L1 first, then L2
+        for w in window_sizes:
+            mm = armodel.train_motion_model(
+                dset, window_size=w, lasso=lasso,
+                cache_dir=os.path.dirname(dset))
+            out["lr_train_rmse"].append(mm.train_rmse)
+            out["lr_validation_rmse"].append(mm.validation_rmse)
+            out["lr_non_zeros"].append(mm.model_non_zeros)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        data_ops.save_pickle(os.path.join(out_dir, "grid_search.pickle"),
+                             out)
+    return out

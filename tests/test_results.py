@@ -163,3 +163,57 @@ def test_save_error_dists(tmp_path):
     with open(tmp_path / "reprojection.pickle", "rb") as f:
         d = pickle.load(f)
     assert set(d) == {"error", "mean_error", "med_error"}
+
+
+def test_std_dev_and_model_selection_plots(tmp_path):
+    rng = np.random.default_rng(0)
+    pred = rng.normal(size=(10, 3))
+    assert R.std_dev(pred, pred) == 0.0
+    assert R.std_dev(pred + 1.0, pred) == pytest.approx(0.0, abs=1e-12)
+    # data_driven_analysis plots from a grid_search.pickle
+    from cheetah_pose_estimation_tpu.utils import data_ops
+    nw = 7
+    data = {"gmm_train_likelihood": list(range(7)),
+            "gmm_validation_likelihood": list(range(7)),
+            "lr_train_rmse": list(np.linspace(1, 0.5, 2 * nw)),
+            "lr_validation_rmse": list(np.linspace(1.2, 0.6, 2 * nw)),
+            "lr_non_zeros": list(range(2 * nw))}
+    data_ops.save_pickle(str(tmp_path / "grid_search.pickle"), data)
+    out = R.data_driven_analysis(str(tmp_path))
+    assert out["gmm_train_likelihood"] == data["gmm_train_likelihood"]
+    assert (tmp_path / "gmm_model_selection.pdf").exists()
+    assert (tmp_path / "ar_model_selection.pdf").exists()
+
+
+def test_animate_torque_plot(tmp_path):
+    rng = np.random.default_rng(1)
+    tau = {"hip": rng.normal(size=(6, 2)), "knee": rng.normal(size=(6, 1))}
+    out = tmp_path / "torque.gif"
+    R.animate_torque_plot(tau, fps=10.0, out_path=str(out))
+    assert out.exists() and out.stat().st_size > 0
+
+
+def test_example_robustness(tmp_path):
+    # synthesize fte pickles for two cameras and the multi-view GT
+    rng = np.random.default_rng(2)
+    from cheetah_pose_estimation_tpu.utils import data_ops
+    base = tmp_path / "2019_03_07" / "phantom" / "run"
+    gt = rng.normal(size=(8, 24, 3))
+    (base / "fte_kinematic").mkdir(parents=True)
+    data_ops.save_pickle(str(base / "fte_kinematic" / "fte.pickle"),
+                         {"positions": gt})
+    for cam in (0, 1):
+        for sub, sigma in (("fte_kinematic_orig", 0.05),
+                           ("fte_kinematic", 0.02), ("fte_kinetic", 0.03)):
+            d = base / f"{sub}_{cam}"
+            d.mkdir()
+            data_ops.save_pickle(str(d / "fte.pickle"),
+                                 {"positions": gt + rng.normal(
+                                     0, sigma, gt.shape)})
+    vals = R.example_robustness(str(tmp_path), str(tmp_path),
+                                cam_space=(0, 1, 2))
+    assert len(vals["single_traj_error"]) == 2
+    # data-driven (tighter noise) must score better than default
+    assert np.mean(vals["data_driven_traj_error"]) < \
+        np.mean(vals["single_traj_error"])
+    assert (tmp_path / "example-cam-robustness.pdf").exists()
