@@ -156,6 +156,44 @@ class CheetahEstimator:
             dq[0] = dq[1] - h * ddq[1]
         return dq, ddq
 
+    def solution_details(self) -> Dict[str, float]:
+        """Print (and return) the total objective, the per-term cost
+        breakdown, and any estimated shutter delays (reference
+        ``solution_details``, acinoset_opt.py:388-398)."""
+        import jax.numpy as jnp
+
+        out: Dict[str, float] = {}
+        if self.fte is not None and self.q is not None \
+                and self.data is not None and hasattr(self.fte,
+                                                      "cost_terms"):
+            out["cost"] = float(self.fte.cost(jnp.asarray(self.q),
+                                              self.data))
+            terms = self.fte.cost_terms(jnp.asarray(self.q), self.data)
+            out.update({k: float(v) for k, v in terms.items()})
+        elif self.obj_cost is not None:
+            out["cost"] = float(self.obj_cost)
+        print("Total cost:", out.get("cost"))
+        for k, v in out.items():
+            if k != "cost":
+                print(f"-- {k}: {v}")
+        if self.shutter_delay is not None:
+            print("Shutter delay estimation:",
+                  list(np.asarray(self.shutter_delay)))
+        return out
+
+    def is_solution_acceptable(self) -> bool:
+        """Finite objective and state (the reference gates on IPOPT's
+        solver status, acinoset_opt.py:400-406; the LM solver has no
+        external status — non-finite values are the failure signal)."""
+        return (self.q is not None and bool(np.all(np.isfinite(self.q)))
+                and self.obj_cost is not None
+                and bool(np.isfinite(self.obj_cost)))
+
+    def get_objective_cost(self) -> float:
+        """Reference-scaled objective value (acinoset_opt.py:408-410)."""
+        return float(self.obj_cost) if self.obj_cost is not None \
+            else float("nan")
+
     def save(self, out_dir_name: str, fname: str = "fte",
              out_dir_prefix: Optional[str] = None) -> str:
         """Write fte.pickle + per-camera reprojections (reference

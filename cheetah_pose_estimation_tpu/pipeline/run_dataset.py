@@ -342,6 +342,20 @@ def run_monocular_all(root_dir: str, dir_prefix: str,
                           modes=tuple(m for m in modes), verbose=verbose)
 
 
+def is_outlier(points: np.ndarray, thresh: float = 3.5) -> np.ndarray:
+    """Modified z-score outlier mask (reference ``is_outlier``,
+    run_dataset.py:20-51): |0.6745 (x - median)| / MAD > thresh."""
+    points = np.asarray(points, float)
+    if points.ndim == 1:
+        points = points[:, None]
+    med = np.median(points, axis=0)
+    diff = np.sqrt(np.sum((points - med) ** 2, axis=-1))
+    mad = np.median(diff)
+    if mad == 0:
+        return np.zeros(len(points), bool)
+    return 0.6745 * diff / mad > thresh
+
+
 def distance_vs_error(root_dir: str, dir_prefix: str,
                       test_set: Tuple = TEST_SET,
                       cam_overrides: Optional[List[int]] = None,
@@ -388,6 +402,10 @@ def distance_vs_error(root_dir: str, dir_prefix: str,
         import matplotlib.pyplot as plt
         fig = plt.figure(figsize=(12, 8), dpi=60)
         for mode, grp in df.groupby("mode"):
+            # drop extreme failures from the scatter (reference filters with
+            # a modified z-score, run_dataset.py:297-313)
+            keep = ~is_outlier(grp["mpe_mm"].to_numpy(), 5.0)
+            grp = grp[keep]
             plt.scatter(grp["distance_m"], grp["mpe_mm"], label=mode)
         plt.xlabel("CoM distance from camera (m)")
         plt.ylabel("MPE (mm)")

@@ -308,8 +308,11 @@ class KinematicFTE:
         with jax.default_matmul_precision("highest"):
             return self._cost_impl(q, data, loss_scale)
 
-    def _cost_impl(self, q: jnp.ndarray, data: KinematicData,
-                   loss_scale: jnp.ndarray = 1.0) -> jnp.ndarray:
+    def cost_terms(self, q: jnp.ndarray, data: KinematicData,
+                   loss_scale: jnp.ndarray = 1.0) -> dict:
+        """Per-term cost values {measurement, model, pose, motion, limit}
+        (the reference's ``costs`` dict printed by ``solution_details``,
+        acinoset_opt.py:388-398)."""
         cfg = self.config
         w_all = self._meas_weights(data)
         s = jnp.asarray(loss_scale, q.dtype)
@@ -339,7 +342,14 @@ class KinematicFTE:
             motion = jnp.sum(data.ar.valid[:, None] * data.ar.weight[None, :]
                              * r * r)
         penalty = self._limit_cost(q, data.frame_valid)
-        return meas + model + pose + motion + penalty
+        return {"measurement": meas, "model": model, "pose": pose,
+                "motion": motion, "limit": penalty}
+
+    def _cost_impl(self, q: jnp.ndarray, data: KinematicData,
+                   loss_scale: jnp.ndarray = 1.0) -> jnp.ndarray:
+        terms = self.cost_terms(q, data, loss_scale)
+        return (terms["measurement"] + terms["model"] + terms["pose"]
+                + terms["motion"] + terms["limit"])
 
     def objective(self, q: jnp.ndarray, data: KinematicData) -> jnp.ndarray:
         """Reference-scaled objective (1e-3 factor, without limit penalty) for

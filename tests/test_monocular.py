@@ -125,3 +125,32 @@ def test_monocular_default_and_data_driven():
     # against its own multi-view solve).
     assert mpe_m < 400.0, mpe_m
     assert mpjpe_m < 250.0, mpjpe_m
+
+
+def test_solution_details_breakdown(tmp_path):
+    """solution_details prints/returns the per-term cost breakdown whose sum
+    equals the solver cost (reference acinoset_opt.py:388-398)."""
+    import pickle
+    import jax.numpy as jnp
+    from cheetah_pose_estimation_tpu.data import synthetic as syn
+    from cheetah_pose_estimation_tpu.models import params as P
+    from cheetah_pose_estimation_tpu.pipeline import estimator as est_mod
+
+    with open(REF_PICKLE, "rb") as f:
+        q_gt = pickle.load(f)["q"][:16]
+    subject = P.get_subject("phantom")
+    import numpy as np
+    from cheetah_pose_estimation_tpu.models import skeleton as sk
+    markers = np.asarray(sk.fk_markers(q_gt, subject))
+    scene = syn.ring_cameras(markers.mean(axis=(0, 1)), n_cams=2, seed=9)
+    trial = syn.synthesize(q_gt, subject, scene, seed=9,
+                           subject_name="phantom")
+    syn.write_trial_dir(trial, str(tmp_path), "2019_03_07/phantom/run")
+    est = est_mod.init_trajectory(str(tmp_path), "2019_03_07/phantom/run",
+                                  "phantom", kinematic_model=True)
+    assert est_mod.estimate_kinematics(est, save=False)
+    out = est.solution_details()
+    assert est.is_solution_acceptable()
+    assert np.isfinite(est.get_objective_cost())
+    total = sum(v for k, v in out.items() if k != "cost")
+    assert out["cost"] == pytest.approx(total, rel=1e-5)

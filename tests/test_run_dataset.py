@@ -40,3 +40,13 @@ def test_driver_roundtrip(tmp_path):
     dve = rd.distance_vs_error(root, out, subset, save_plot=True)
     assert len(dve) >= 2
     assert os.path.exists(os.path.join(out, "dist_vs_error.pdf"))
+
+
+def test_is_outlier():
+    from cheetah_pose_estimation_tpu.pipeline.run_dataset import is_outlier
+    import numpy as np
+    x = np.array([1.0, 1.1, 0.9, 1.05, 0.95, 40.0])
+    mask = is_outlier(x, 3.5)
+    assert mask[-1] and not mask[:-1].any()
+    # constant data: no outliers (MAD = 0 guard)
+    assert not is_outlier(np.ones(5)).any()
