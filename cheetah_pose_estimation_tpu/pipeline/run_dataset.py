@@ -164,15 +164,27 @@ def run_monocular(root_dir: str, dir_prefix: str,
                 data_driven_dataset=data_driven_dataset,
                 solver_output=verbose)
         if "physics-based" in modes:
-            est = est_mod.init_trajectory(root_dir, data_path, cheetah,
-                                          monocular_enable=True,
-                                          override_monocular_cam=cam,
-                                          kinematic_model=False)
-            est_mod.determine_contacts(est, monocular=True,
-                                       out_dir_prefix=dir_prefix)
-            est_mod.estimate_kinetics(est, joint_estimation=True,
-                                      out_dir_prefix=dir_prefix,
-                                      solver_output=verbose)
+            # bounded retry on solver failure (the reference loops on
+            # ValueError until estimate_kinetics succeeds,
+            # run_dataset.py:1199-1228)
+            for attempt in range(3):
+                est = est_mod.init_trajectory(root_dir, data_path, cheetah,
+                                              monocular_enable=True,
+                                              override_monocular_cam=cam,
+                                              kinematic_model=False)
+                est_mod.determine_contacts(est, monocular=True,
+                                           out_dir_prefix=dir_prefix)
+                try:
+                    ok = est_mod.estimate_kinetics(
+                        est, joint_estimation=True,
+                        out_dir_prefix=dir_prefix, solver_output=verbose)
+                except (ValueError, FileNotFoundError) as e:
+                    print(f"physics-based attempt {attempt + 1} failed: {e}")
+                    continue
+                if ok:
+                    break
+                print(f"physics-based attempt {attempt + 1}: "
+                      "solution not acceptable, retrying")
     print(f"Run through all videos took {time.time() - t_start:.2f}s")
 
 
