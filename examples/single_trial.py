@@ -13,6 +13,9 @@ import os
 import pickle
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import numpy as np
 
 from cheetah_pose_estimation_tpu.data import io as dio
