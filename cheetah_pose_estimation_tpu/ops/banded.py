@@ -207,9 +207,8 @@ def _tridiagonalize(H: BlockBanded, b: jnp.ndarray
         for v in range(u, s):
             # C_i[u, v] = H[i*s+u, (i-1)*s+v], offset k = s + u - v in [1, s]
             k = s + u - v
-            if k <= s:
-                blk = lower[k - 1][jnp.maximum(idx - s + v, 0)]
-                C = C.at[1:, u, v].set(blk[1:])
+            blk = lower[k - 1][jnp.maximum(idx - s + v, 0)]
+            C = C.at[1:, u, v].set(blk[1:])
     A = A.transpose(0, 1, 3, 2, 4).reshape(M, s * d, s * d)
     C = C.transpose(0, 1, 3, 2, 4).reshape(M, s * d, s * d)
     bs = jnp.concatenate([b, jnp.zeros((Np - N, d), dtype)],

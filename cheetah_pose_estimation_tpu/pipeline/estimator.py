@@ -166,10 +166,16 @@ class CheetahEstimator:
         if self.fte is not None and self.q is not None \
                 and self.data is not None and hasattr(self.fte,
                                                       "cost_terms"):
-            out["cost"] = float(self.fte.cost(jnp.asarray(self.q),
-                                              self.data))
-            terms = self.fte.cost_terms(jnp.asarray(self.q), self.data)
+            import jax
+
+            # same matmul precision as the solver's fused cost, and the
+            # total is the SUM of the printed terms (evaluating the fused
+            # cost separately at a different precision would make the
+            # breakdown disagree with the total on TPU)
+            with jax.default_matmul_precision("highest"):
+                terms = self.fte.cost_terms(jnp.asarray(self.q), self.data)
             out.update({k: float(v) for k, v in terms.items()})
+            out["cost"] = float(sum(out.values()))
         elif self.obj_cost is not None:
             out["cost"] = float(self.obj_cost)
         print("Total cost:", out.get("cost"))

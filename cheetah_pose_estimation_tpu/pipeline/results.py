@@ -561,10 +561,20 @@ def check_joint_estimation(root_dir: str, dir_prefix: str,
     result, err, _ = metrics_mod.traj_error(
         fte_gt["positions"].copy(), fte["positions"].copy(),
         "joint estimation", centered=True)
-    tau_gt = np.concatenate([np.ravel(v) for v in fte_gt["tau"].values()])
-    tau = np.concatenate([np.ravel(v) for v in fte["tau"].values()])
-    n = min(len(tau_gt), len(tau))
-    tau_rmse = float(np.sqrt(np.nanmean((tau_gt[:n] - tau[:n]) ** 2)))
+    # align per motor (and per frame within each motor): concatenating the
+    # raveled dicts would misalign every motor after the first when the two
+    # solutions differ in frame count or key order
+    diffs = []
+    for name in set(fte_gt["tau"]) & set(fte["tau"]):
+        a = np.asarray(fte_gt["tau"][name], float)
+        b = np.asarray(fte["tau"][name], float)
+        a = a.reshape(a.shape[0], -1)
+        b = b.reshape(b.shape[0], -1)
+        n = min(a.shape[0], b.shape[0])
+        k = min(a.shape[1], b.shape[1])
+        diffs.append((a[:n, :k] - b[:n, :k]).ravel())
+    tau_rmse = float(np.sqrt(np.nanmean(np.concatenate(diffs) ** 2))) \
+        if diffs else float("nan")
     return {"mpjpe_mm": float(result.mean().iloc[0]),
             "torque_rmse": tau_rmse}
 
@@ -576,7 +586,11 @@ def example_robustness(root_dir: str, dir_prefix: str,
                        ) -> Dict[str, List[float]]:
     """Per-camera robustness bar chart for one trial: mean root-relative
     MPJPE of default / data-driven / physics-based per camera index, saved
-    as example-cam-robustness.pdf (reference results.py:56-138)."""
+    as example-cam-robustness.pdf (reference results.py:56-138).
+
+    ``root_dir`` is accepted for reference-signature parity but unused —
+    like the reference, every pickle (GT and per-camera) is read from
+    ``dir_prefix``."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -702,7 +716,9 @@ def animate_torque_plot(tau: Dict[str, np.ndarray], fps: float,
             for k in names]
     n_frames = min(a.shape[0] for a in arrs)
     totals = [a.sum(axis=1) for a in arrs]
-    vmax = max(float(np.abs(t).max()) for t in totals) or 1.0
+    vmax = max(float(np.nanmax(np.abs(t))) for t in totals)
+    if not np.isfinite(vmax) or vmax == 0.0:
+        vmax = 1.0
 
     fig, ax = plt.subplots(figsize=(16, 9), dpi=50)
     bars = ax.bar(range(len(names)), [t[0] for t in totals],
@@ -720,5 +736,6 @@ def animate_torque_plot(tau: Dict[str, np.ndarray], fps: float,
 
     anim = animation.FuncAnimation(fig, update, frames=n_frames,
                                    blit=False)
-    anim.save(out_path, writer=animation.PillowWriter(fps=min(int(fps), 30)))
+    anim.save(out_path, writer=animation.PillowWriter(
+        fps=max(1, min(int(round(fps)), 30))))
     plt.close(fig)

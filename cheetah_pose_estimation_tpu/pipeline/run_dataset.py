@@ -165,9 +165,17 @@ def run_monocular(root_dir: str, dir_prefix: str,
                 solver_output=verbose)
         if "physics-based" in modes:
             # bounded retry on solver failure (the reference loops on
-            # ValueError until estimate_kinetics succeeds,
-            # run_dataset.py:1199-1228)
-            for attempt in range(3):
+            # ValueError until IPOPT happens to succeed,
+            # run_dataset.py:1199-1228). The LM solve is deterministic, so a
+            # bare re-run would fail identically — each fallback attempt
+            # changes the problem: joint GRF estimation first, then
+            # synthesized GRF profiles, then additionally without the pose
+            # prior.
+            attempts = (dict(joint_estimation=True),
+                        dict(joint_estimation=False, synthesised_grf=True),
+                        dict(joint_estimation=False, synthesised_grf=True,
+                             disable_pose_prior=True))
+            for attempt, kw in enumerate(attempts):
                 est = est_mod.init_trajectory(root_dir, data_path, cheetah,
                                               monocular_enable=True,
                                               override_monocular_cam=cam,
@@ -176,15 +184,18 @@ def run_monocular(root_dir: str, dir_prefix: str,
                                            out_dir_prefix=dir_prefix)
                 try:
                     ok = est_mod.estimate_kinetics(
-                        est, joint_estimation=True,
-                        out_dir_prefix=dir_prefix, solver_output=verbose)
+                        est, out_dir_prefix=dir_prefix,
+                        solver_output=verbose, **kw)
                 except (ValueError, FileNotFoundError) as e:
                     print(f"physics-based attempt {attempt + 1} failed: {e}")
                     continue
                 if ok:
                     break
-                print(f"physics-based attempt {attempt + 1}: "
-                      "solution not acceptable, retrying")
+                print(f"physics-based attempt {attempt + 1} "
+                      f"({kw}) not acceptable, trying fallback")
+            else:
+                print(f"physics-based FAILED for {data_path} "
+                      "(no acceptable solution in any configuration)")
     print(f"Run through all videos took {time.time() - t_start:.2f}s")
 
 

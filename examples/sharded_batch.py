@@ -4,13 +4,11 @@ The workload's scaling axis is trials x modes x cameras (SURVEY.md §2.13):
 whole trials are padded, stacked into one pytree, sharded over a 1-D
 `jax.sharding.Mesh`, and solved as ONE vmapped program; each trial's
 block-banded system stays device-local so only scalar reductions ride the
-ICI. On a single chip the same code runs with a 1-device mesh; to smoke-test
-multi-chip semantics on CPU:
+ICI. On real hardware the mesh uses the available accelerator devices
+(all of them, or the first --devices). To smoke-test multi-chip semantics
+without hardware, pin a virtual CPU mesh explicitly:
 
-    JAX_PLATFORMS=cpu python examples/sharded_batch.py --devices 8
-
-(the script pins the CPU platform itself when --devices exceeds the
-available device count).
+    python examples/sharded_batch.py --virtual_cpu --devices 8
 """
 import argparse
 import os
@@ -25,17 +23,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, default=None,
                     help="mesh size (default: all available devices)")
+    ap.add_argument("--virtual_cpu", action="store_true",
+                    help="pin a virtual CPU mesh of --devices devices "
+                         "(multi-chip smoke test without hardware)")
     ap.add_argument("--trials", type=int, default=8)
     ap.add_argument("--frames", type=int, default=32)
     args = ap.parse_args()
 
     import jax
-    if args.devices and args.devices > 1:
-        try:
-            jax.config.update("jax_platforms", "cpu")
-            jax.config.update("jax_num_cpu_devices", args.devices)
-        except Exception:
-            pass
+    if args.virtual_cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.devices or 8)
 
     import jax.numpy as jnp
     import numpy as np
@@ -48,7 +46,8 @@ def main():
     from cheetah_pose_estimation_tpu.pipeline import bench_lib
     from cheetah_pose_estimation_tpu.solver import kinematic as kin
 
-    n_dev = min(args.devices or len(jax.devices()), len(jax.devices()))
+    n_dev = min(args.devices or len(jax.devices()), len(jax.devices()),
+                args.trials)
     subject = params_mod.get_subject("acinoset")
 
     datas, q0s, trials = [], [], []
