@@ -24,6 +24,7 @@ from ..models import skeleton as sk
 from ..parallel import batch as pbatch
 from ..priors import armodel, dataset as prior_ds, gmm as gmm_mod
 from ..solver import kinematic as kin
+from ..utils import data_ops
 from . import estimator as est_mod
 
 
@@ -95,10 +96,10 @@ def run_monocular_batched(root_dir: str, dir_prefix: str,
                     df = prior_ds.load_pose_dataset(dset)
                     gp = gmm_mod.to_solver_prior(gmm_mod.fit(
                         df.iloc[:, 6:28].to_numpy(), n_components=5,
-                        seed=42))
+                        seed=42, cache_dir=data_ops.prior_cache_dir(dset)))
                     mm = armodel.train_motion_model(
                         dset, window_size=4, lasso=True,
-                        cache_dir=os.path.dirname(dset))
+                        cache_dir=data_ops.prior_cache_dir(dset))
                     mms.append(mm)
                     x_init = np.asarray(sk.relative_pose(est.q0))
                     y_pred, valid = armodel.anchor_predictions(mm, x_init)
@@ -198,7 +199,8 @@ def run_physics_batched(root_dir: str, dir_prefix: str,
         dset = data_driven_dataset or est_mod.DATA_DRIVEN_DATASET
         df = prior_ds.load_pose_dataset(dset)
         gp = gmm_mod.to_solver_prior(gmm_mod.fit(
-            df.iloc[:, 6:28].to_numpy(), n_components=5, seed=42))
+            df.iloc[:, 6:28].to_numpy(), n_components=5, seed=42,
+            cache_dir=data_ops.prior_cache_dir(dset)))
         for est in ests:
             d = est_mod._load_warm_start(est, True, dir_prefix)
             est.com_vel, est.com_pos = d["com_vel"], d["com_pos"]

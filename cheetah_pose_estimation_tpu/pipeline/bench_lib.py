@@ -22,6 +22,7 @@ from ..models import skeleton as sk
 from ..parallel import batch as pbatch
 from ..pipeline import initialization as init
 from ..solver import kinematic as kin
+from ..utils import data_ops
 
 REF_TEST_SET = "/root/reference/data/test_set"
 
@@ -156,7 +157,9 @@ def build_physics_batch(datas, qs_default, fpss, subject,
             try:
                 df = prior_ds.load_pose_dataset(est_mod.DATA_DRIVEN_DATASET)
                 gp = gmm_mod.to_solver_prior(gmm_mod.fit(
-                    df.iloc[:, 6:28].to_numpy(), n_components=5, seed=42))
+                    df.iloc[:, 6:28].to_numpy(), n_components=5, seed=42,
+                    cache_dir=data_ops.prior_cache_dir(
+                        est_mod.DATA_DRIVEN_DATASET)))
             except (OSError, ValueError):
                 gp = None
         # one padded FK call for every trial's foot kinematics and CoM (a

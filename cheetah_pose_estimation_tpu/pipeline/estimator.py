@@ -39,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data import io as dio
+from ..utils import data_ops
 from ..models import noise as noise_tables
 from ..models import params as params_mod
 from ..models import skeleton as sk
@@ -466,13 +467,14 @@ def estimate_kinematics(est: CheetahEstimator,
             df = ds.load_pose_dataset(dset)
             gp = gmm_mod.to_solver_prior(gmm_mod.fit(
                 df.iloc[:, 6:28].to_numpy(),
-                n_components=pose_model_num_components, seed=42))
+                n_components=pose_model_num_components, seed=42,
+                cache_dir=data_ops.prior_cache_dir(dset)))
             data = data._replace(gmm=gp)
         if use_ar:
             mm = armodel.train_motion_model(
                 dset, window_size=motion_model_window_size,
                 lasso=motion_model_sparse_solution,
-                cache_dir=os.path.dirname(dset))
+                cache_dir=data_ops.prior_cache_dir(dset))
             x_init = np.asarray(sk.relative_pose(q0))
             y_pred, valid = armodel.anchor_predictions(mm, x_init)
             data = data._replace(ar=kin.ARAnchor(
@@ -636,8 +638,9 @@ def estimate_kinetics(est: CheetahEstimator,
     if use_gmm:
         from ..priors import dataset as ds
         df = ds.load_pose_dataset(DATA_DRIVEN_DATASET)
-        gp = gmm_mod.to_solver_prior(gmm_mod.fit(df.iloc[:, 6:28].to_numpy(),
-                                                 n_components=5, seed=42))
+        gp = gmm_mod.to_solver_prior(gmm_mod.fit(
+            df.iloc[:, 6:28].to_numpy(), n_components=5, seed=42,
+            cache_dir=data_ops.prior_cache_dir(DATA_DRIVEN_DATASET)))
         data = data._replace(gmm=gp)
     kd = kn.KineticData(base=data, stance=_jnp.asarray(stance),
                         grf_fixed=_jnp.asarray(grf_fixed),

@@ -207,7 +207,7 @@ def model_selection_analysis(data_driven_dataset: Optional[str] = None,
         for w in window_sizes:
             mm = armodel.train_motion_model(
                 dset, window_size=w, lasso=lasso,
-                cache_dir=os.path.dirname(dset))
+                cache_dir=data_ops.prior_cache_dir(dset))
             out["lr_train_rmse"].append(mm.train_rmse)
             out["lr_validation_rmse"].append(mm.validation_rmse)
             out["lr_non_zeros"].append(mm.model_non_zeros)

@@ -71,10 +71,43 @@ def _log_gaussians(X, means, covs, reg):
 
 def fit(X: np.ndarray, n_components: int, seed: int = 42,
         max_iter: int = 200, tol: float = 1e-4,
-        reg_covar: float = 1e-6) -> GMMParams:
-    """Full-covariance EM. Returns mixture parameters."""
+        reg_covar: float = 1e-6,
+        cache_dir: "str | None" = None) -> GMMParams:
+    """Full-covariance EM. Returns mixture parameters.
+
+    With ``cache_dir`` the fitted parameters are stored on disk keyed by
+    the md5 of (data bytes, hyper-parameters) — the same caching scheme the
+    reference applies to its AR models (acinoset_models.py:191-211)."""
+    cache_path = None
+    if cache_dir is not None:
+        import hashlib
+        import os
+        import pickle
+
+        m = hashlib.md5()
+        m.update(np.ascontiguousarray(np.asarray(X, np.float64)).tobytes())
+        m.update(repr((n_components, seed, max_iter, tol,
+                       reg_covar)).encode())
+        cache_path = os.path.join(cache_dir,
+                                  f"gmm_model_{m.hexdigest()}.tpu")
+        if os.path.isfile(cache_path):
+            with open(cache_path, "rb") as f:
+                w, means, covs = pickle.load(f)
+            return GMMParams(jnp.asarray(w), jnp.asarray(means),
+                             jnp.asarray(covs))
     with _host_cpu():
-        return _fit(X, n_components, seed, max_iter, tol, reg_covar)
+        params = _fit(X, n_components, seed, max_iter, tol, reg_covar)
+    if cache_path:
+        import pickle
+
+        try:
+            with open(cache_path, "wb") as f:
+                pickle.dump((np.asarray(params.weights),
+                             np.asarray(params.means),
+                             np.asarray(params.covs)), f)
+        except OSError:
+            pass  # read-only dataset location (e.g. the reference mount)
+    return params
 
 
 def _fit(X, n_components, seed, max_iter, tol, reg_covar) -> GMMParams:

@@ -55,3 +55,23 @@ def series_to_supervised(data, n_in: int = 1, n_step: int = 1
     cols.append(X[first:])
     table = np.concatenate(cols, axis=1)
     return pd.DataFrame(table, index=np.arange(first, n))
+
+
+def prior_cache_dir(dataset_path: str) -> str:
+    """Where to cache trained prior models for ``dataset_path``.
+
+    The reference caches next to the dataset (models/data-driven,
+    acinoset_models.py:191-211); we keep that convention only when the
+    dataset's directory is a writable project location. A read-only or
+    out-of-tree dataset (e.g. the mounted reference snapshot, which must
+    never be written to) caches under ~/.cache instead.
+    """
+    import os
+
+    d = os.path.dirname(os.path.abspath(dataset_path))
+    if not d.startswith("/root/reference") and os.access(d, os.W_OK):
+        return d
+    cache = os.path.join(os.path.expanduser("~"), ".cache",
+                         "cheetah_pose_estimation_tpu")
+    os.makedirs(cache, exist_ok=True)
+    return cache
