@@ -37,3 +37,53 @@ def test_batched_matches_quality(tmp_path):
         errm = np.linalg.norm(dm["positions"] - gt["positions"],
                               axis=2).mean() * 1000
         assert errm < 500.0, (data_path, errm)
+
+
+def test_ragged_camera_counts_and_dead_frames():
+    """Batching trials with different camera counts and a frame whose
+    detections are all gated out must stay finite and padded-camera-safe."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cheetah_pose_estimation_tpu.data import synthetic as syn
+    from cheetah_pose_estimation_tpu.models import noise as noise_tables
+    from cheetah_pose_estimation_tpu.models import params as P
+    from cheetah_pose_estimation_tpu.models import skeleton as sk
+    from cheetah_pose_estimation_tpu.parallel import batch as pbatch
+    from cheetah_pose_estimation_tpu.pipeline import initialization as init
+    from cheetah_pose_estimation_tpu.solver import kinematic as kin
+
+    subject = P.get_subject("acinoset")
+    datas, q0s, trials = [], [], []
+    for i, n_cams in enumerate((2, 4)):
+        q_gt = syn.gallop_trajectory(n_frames=10 + i, seed=i)
+        center = np.asarray(sk.fk_markers(q_gt, subject)).mean(axis=(0, 1))
+        scene = syn.ring_cameras(center, n_cams=n_cams, seed=i)
+        trial = syn.synthesize(q_gt, subject, scene, seed=i)
+        w = np.asarray(syn.gated_weights(trial))
+        w[3] = 0.0                      # a frame with no usable detections
+        q0 = init.initialize_trajectory(trial.meas, w, scene.K, scene.D,
+                                        scene.R, scene.t, subject,
+                                        fisheye=True)
+        N = q_gt.shape[0]
+        gmmp, ar = (kin.GMMPrior(np.zeros((1, 22)), np.eye(22)[None],
+                                 np.zeros((1,))),
+                    kin.ARAnchor(np.zeros((N, 28)), np.zeros(28),
+                                 np.zeros(N)))
+        datas.append(kin.KinematicData(
+            meas=trial.meas, weight=w,
+            cam=kin.CameraSet(scene.K, scene.D, scene.R, scene.t),
+            h=np.asarray(1.0 / scene.fps),
+            acc_weight=noise_tables.acc_model_weights(),
+            frame_valid=np.ones(N), gmm=gmmp, ar=ar))
+        q0s.append(q0)
+        trials.append(trial)
+    batched, q0b = pbatch.pad_and_stack(datas, q0s, n_frames=12,
+                                        dtype=jnp.float32)
+    assert batched.meas.shape[:2] == (2, 12) and batched.meas.shape[2] == 4
+    fte = kin.KinematicFTE(kin.KinematicConfig(), subject)
+    run = jax.jit(jax.vmap(fte.make_solver(stages=((3.0, 5), (1.0, 10)))))
+    st = run(q0b, batched)
+    assert bool(jnp.all(jnp.isfinite(st.q)))
+    assert bool(jnp.all(jnp.isfinite(st.cost)))
