@@ -605,6 +605,8 @@ def example_robustness(root_dir: str, dir_prefix: str,
     cams: List[int] = []
     gt_path = os.path.join(dir_prefix, data_path, "fte_kinematic",
                            "fte.pickle")
+    if not os.path.exists(gt_path):
+        return vals
     gt = dio.load_fte_pickle(gt_path)["positions"]
     for cam_idx in cam_space:
         base = os.path.join(dir_prefix, data_path)

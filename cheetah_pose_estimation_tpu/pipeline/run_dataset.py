@@ -349,20 +349,40 @@ def run_acinoset(root_dir: str, dir_prefix: str,
 def run_monocular_all(root_dir: str, dir_prefix: str,
                       test_set: Tuple = TEST_SET,
                       modes: Tuple[str, ...] = ("default", "data-driven"),
+                      batched: bool = False,
                       verbose: bool = False):
     """Sweep every camera of every trial (reference run_monocular_all,
-    run_dataset.py:918-1015) — feeds the distance-vs-error analysis."""
-    for idx, (cheetah, date, trial_name) in enumerate(test_set):
+    run_dataset.py:918-1015) — feeds the distance-vs-error analysis.
+
+    With ``batched`` the (trial, camera) combinations become one more batch
+    axis: all combos are padded/stacked and solved as one vmapped run per
+    (mode, subject) group instead of a serial double loop."""
+    combos: List[Tuple[str, str, str]] = []
+    cams: List[int] = []
+    for cheetah, date, trial_name in test_set:
         data_path = os.path.join(date, cheetah, trial_name)
         if not os.path.isdir(os.path.join(root_dir, data_path)):
             continue
         k_arr, *_ = dio.find_scene_file(os.path.join(root_dir, data_path))
-        n_cams = len(k_arr)
-        for cam in range(n_cams):
-            run_monocular(root_dir, dir_prefix,
-                          ((cheetah, date, trial_name),),
-                          cam_overrides=[cam],
-                          modes=tuple(m for m in modes), verbose=verbose)
+        for cam in range(len(k_arr)):
+            combos.append((cheetah, date, trial_name))
+            cams.append(cam)
+    if batched:
+        from . import batched as batched_mod
+        # the multi-view ground-truth solve once per unique trial (the
+        # per-camera modes are scored against it)
+        unique = list(dict.fromkeys(combos))
+        batched_mod.run_monocular_batched(
+            root_dir, dir_prefix, unique, modes=("ground-truth",),
+            verbose=verbose)
+        batched_mod.run_monocular_batched(
+            root_dir, dir_prefix, combos, cam_overrides=cams,
+            modes=tuple(m for m in modes if m != "ground-truth"),
+            verbose=verbose)
+        return
+    for combo, cam in zip(combos, cams):
+        run_monocular(root_dir, dir_prefix, (combo,), cam_overrides=[cam],
+                      modes=tuple(m for m in modes), verbose=verbose)
 
 
 def is_outlier(points: np.ndarray, thresh: float = 3.5) -> np.ndarray:
@@ -396,9 +416,18 @@ def distance_vs_error(root_dir: str, dir_prefix: str,
         if cam_overrides is not None:
             cams = [cam_overrides[idx]]
         else:
-            with open(os.path.join(root_dir, data_path, "metadata.json"),
-                      encoding="utf-8") as f:
-                cams = [json.load(f)["monocular_cam"]]
+            # scan the whole camera space where per-camera artifacts exist
+            # (reference distance_vs_error sweeps its cam_space tables,
+            # run_dataset.py:218-229); fall back to the metadata camera
+            k_arr, *_ = dio.find_scene_file(os.path.join(root_dir,
+                                                         data_path))
+            cams = [c for c in range(len(k_arr)) if os.path.isdir(
+                os.path.join(base, f"fte_kinematic_orig_{c}"))]
+            if not cams:
+                with open(os.path.join(root_dir, data_path,
+                                       "metadata.json"),
+                          encoding="utf-8") as f:
+                    cams = [json.load(f)["monocular_cam"]]
         for cam_idx in cams:
             for mode, sub in (("default", f"fte_kinematic_orig_{cam_idx}"),
                               ("data-driven", f"fte_kinematic_{cam_idx}"),
@@ -601,7 +630,8 @@ def main(argv=None):
         print(validate_dataset(args.out_dir_prefix))
     if args.run_analysis:
         if args.clean:
-            run_monocular_all(args.root_dir, args.out_dir_prefix, test_set)
+            run_monocular_all(args.root_dir, args.out_dir_prefix, test_set,
+                              batched=args.batched)
         print(distance_vs_error(args.root_dir, args.out_dir_prefix,
                                 test_set, cam_overrides))
         from . import results as results_mod
