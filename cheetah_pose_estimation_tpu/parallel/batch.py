@@ -83,14 +83,20 @@ def pad_and_stack(datas: Sequence[KinematicData],
                              frame_valid=fv, gmm=d.gmm, ar=ar), q0p
 
     prepped = [prep(d, q) for d, q in zip(datas, q0s)]
-    dt = dtype or jnp.asarray(prepped[0][0].meas).dtype
 
-    def stack(*xs):
-        return jnp.asarray(np.stack([np.asarray(x) for x in xs]), dtype=dt)
+    # stack on the host CPU: each distinct-shape jnp.asarray on a tunneled
+    # accelerator backend costs a compile round-trip, and the consumer jit
+    # transfers the one stacked pytree anyway
+    with jax.default_device(jax.devices("cpu")[0]):
+        dt = dtype or jnp.asarray(prepped[0][0].meas).dtype
 
-    batched = jax.tree.map(stack, *[p[0] for p in prepped])
-    q0b = jnp.asarray(np.stack([p[1] for p in prepped]), dtype=dt)
-    return batched, q0b
+        def stack(*xs):
+            return jnp.asarray(np.stack([np.asarray(x) for x in xs]),
+                               dtype=dt)
+
+        batched = jax.tree.map(stack, *[p[0] for p in prepped])
+        q0b = jnp.asarray(np.stack([p[1] for p in prepped]), dtype=dt)
+        return batched, q0b
 
 
 def trial_mesh(n_devices: Optional[int] = None,
@@ -131,25 +137,27 @@ def pad_and_stack_kinetic(kds, q_warms, n_frames: Optional[int] = None,
                                            dtype=dtype)
     dt = q_warm_b.dtype
 
-    def stack(field, pad_axis0=True):
-        outs = []
-        for kd in kds:
-            x = np.asarray(getattr(kd, field), float)
-            outs.append(_pad_to(x, N, 0) if pad_axis0 else x)
-        return jnp.asarray(np.stack(outs), dtype=dt)
+    # host-CPU stacking: see pad_and_stack
+    with jax.default_device(jax.devices("cpu")[0]):
+        def stack(field, pad_axis0=True):
+            outs = []
+            for kd in kds:
+                x = np.asarray(getattr(kd, field), float)
+                outs.append(_pad_to(x, N, 0) if pad_axis0 else x)
+            return jnp.asarray(np.stack(outs), dtype=dt)
 
-    tau_anchors = []
-    for kd in kds:
-        a = np.broadcast_to(np.asarray(kd.tau_anchor, float),
-                            (kd.base.meas.shape[0], N_TAU))
-        tau_anchors.append(_pad_to(a, N, 0))
-    return KineticData(
-        base=batched_base,
-        stance=stack("stance"),
-        grf_fixed=stack("grf_fixed"),
-        grf_xy_fixed=stack("grf_xy_fixed"),
-        use_fixed_grf=stack("use_fixed_grf", pad_axis0=False),
-        q_warm=q_warm_b,
-        tau_anchor=jnp.asarray(np.stack(tau_anchors), dtype=dt),
-        tau_anchor_weight=stack("tau_anchor_weight", pad_axis0=False),
-    ), q_warm_b
+        tau_anchors = []
+        for kd in kds:
+            a = np.broadcast_to(np.asarray(kd.tau_anchor, float),
+                                (kd.base.meas.shape[0], N_TAU))
+            tau_anchors.append(_pad_to(a, N, 0))
+        return KineticData(
+            base=batched_base,
+            stance=stack("stance"),
+            grf_fixed=stack("grf_fixed"),
+            grf_xy_fixed=stack("grf_xy_fixed"),
+            use_fixed_grf=stack("use_fixed_grf", pad_axis0=False),
+            q_warm=q_warm_b,
+            tau_anchor=jnp.asarray(np.stack(tau_anchors), dtype=dt),
+            tau_anchor_weight=stack("tau_anchor_weight", pad_axis0=False),
+        ), q_warm_b
