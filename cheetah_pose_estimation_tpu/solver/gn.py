@@ -207,3 +207,45 @@ def lm_solve_scan(cost_fn: Callable, normal_fn: Callable, q0: jnp.ndarray,
 
     final, trace = jax.lax.scan(step, state, None, length=config.max_iters)
     return final, trace
+
+
+def lm_solve_annealed_scan(cost_fn: Callable, normal_fn: Callable,
+                           q0: jnp.ndarray,
+                           stages: Tuple[Tuple[float, int], ...],
+                           config: LMConfig = LMConfig()) -> LMState:
+    """Graduated-non-convexity LM as a fixed-length scan.
+
+    Result-equivalent to :func:`lm_solve_annealed` when lanes use their full
+    per-stage budgets (converged lanes freeze via the ``done`` gate until the
+    next stage boundary instead of fast-forwarding). Measured on the v5e:
+    the plain fixed-iteration scan compiles ~8x faster than its while_loop
+    twin, but for THIS annealed body the stage-boundary cost re-evaluation
+    keeps compile time equal and adds ~10% runtime — so the while driver
+    remains the default; this variant exists for deterministic fixed-cost
+    execution (e.g. cost-trace profiling, strict step-count reproducibility
+    across batch compositions)."""
+    n_stages = len(stages)
+    scales = jnp.asarray([s for s, _ in stages], q0.dtype)
+    bounds = jnp.cumsum(jnp.asarray([it for _, it in stages]))
+    total = int(sum(it for _, it in stages))
+
+    s0 = _init_state(lambda q: cost_fn(q, scales[0]), q0, config)
+
+    def body(carry, _):
+        s, prev_scale = carry
+        idx = jnp.minimum(jnp.searchsorted(bounds, s.it, side="right"),
+                          n_stages - 1)
+        scale = scales[idx]
+        changed = scale != prev_scale
+        cost = jnp.where(changed, cost_fn(s.q, scale), s.cost)
+        done = jnp.logical_and(s.done, jnp.logical_not(changed))
+        lam = jnp.where(changed, jnp.asarray(config.lam0, s.lam.dtype),
+                        s.lam)
+        nu = jnp.where(changed, jnp.asarray(2.0, s.nu.dtype), s.nu)
+        s = s._replace(cost=cost, done=done, lam=lam, nu=nu)
+        ns = _lm_step(s, lambda q: cost_fn(q, scale),
+                      lambda q: normal_fn(q, scale), config)
+        return (ns, scale), None
+
+    (final, _), _ = jax.lax.scan(body, (s0, scales[0]), None, length=total)
+    return final

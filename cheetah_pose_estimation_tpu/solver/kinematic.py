@@ -512,7 +512,7 @@ class KinematicFTE:
                     stages: Tuple[Tuple[float, int], ...] = (
                         (10.0, 30), (3.0, 30), (1.0, 150)),
                     ftol: float = 1e-9, lam0: float = 1e-2,
-                    linear_solver: str = "scan"):
+                    linear_solver: str = "scan", driver: str = "while"):
         """Jitted graduated-non-convexity solve: anneal the redescending loss
         thresholds (scale s: wide -> 1) so early iterations see gradient
         everywhere, then tighten to the reference's exact (3, 10, 20) loss.
@@ -521,7 +521,7 @@ class KinematicFTE:
         (jax.vmap(run)).
         """
         from . import gn as gn_mod
-        key = (stages, ftol, lam0, linear_solver)
+        key = (stages, ftol, lam0, linear_solver, driver)
         if key in self._solve_cache:
             return self._solve_cache[key]
 
@@ -539,7 +539,9 @@ class KinematicFTE:
             with jax.default_matmul_precision("highest"):
                 cost_fn = lambda q, s: self._cost_impl(q, data, s)
                 normal_fn = lambda q, s: self._normal(q, data, s)
-                return gn_mod.lm_solve_annealed(
+                solver = (gn_mod.lm_solve_annealed_scan if driver == "scan"
+                          else gn_mod.lm_solve_annealed)
+                return solver(
                     cost_fn, normal_fn, q0, stages_eff,
                     gn_mod.LMConfig(ftol=ftol, lam0=lam0,
                                     linear_solver=linear_solver))

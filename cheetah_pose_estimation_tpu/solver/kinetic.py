@@ -392,9 +392,10 @@ class KineticFTE:
 
     # ------------------------------------------------------------------
     def make_solver(self, stages=((3.0, 20), (1.0, 80)), ftol: float = 1e-9,
-                    lam0: float = 1e-2, linear_solver: str = "scan"):
+                    lam0: float = 1e-2, linear_solver: str = "scan",
+                    driver: str = "while"):
         from . import gn as gn_mod
-        key = (stages, ftol, lam0, linear_solver)
+        key = (stages, ftol, lam0, linear_solver, driver)
         if key in self._solve_cache:
             return self._solve_cache[key]
 
@@ -406,7 +407,9 @@ class KineticFTE:
             with jax.default_matmul_precision("highest"):
                 cost_fn = lambda qq, s: self._cost(qq, data, s)
                 normal_fn = lambda qq, s: self._normal(qq, data, s)
-                return gn_mod.lm_solve_annealed(
+                solver = (gn_mod.lm_solve_annealed_scan if driver == "scan"
+                          else gn_mod.lm_solve_annealed)
+                return solver(
                     cost_fn, normal_fn, q0, stages,
                     gn_mod.LMConfig(ftol=ftol, lam0=lam0,
                                     linear_solver=linear_solver))

@@ -220,3 +220,21 @@ def test_live_shutter_solve_accounts_for_delay():
         return np.mean(np.linalg.norm(rec - trial.markers_gt, axis=2))
 
     assert mpe(st1.q) < mpe(st0.q) * 0.9, (mpe(st1.q), mpe(st0.q))
+
+
+def test_scan_driver_equivalent():
+    """The fixed-length scan GNC driver reaches the same solution as the
+    while-loop driver when lanes use their full budgets."""
+    trial, subject = _small_trial(n=10, n_cams=3, seed=11)
+    fte = kin.KinematicFTE(kin.KinematicConfig(), subject)
+    data = _make_data(trial)
+    rng = np.random.default_rng(11)
+    q0 = jnp.asarray(trial.q_gt + rng.normal(scale=0.05,
+                                             size=trial.q_gt.shape))
+    stages = ((3.0, 8), (1.0, 20))
+    st_while = fte.make_solver(stages=stages, ftol=0.0)(q0, data)
+    st_scan = fte.make_solver(stages=stages, ftol=0.0,
+                              driver="scan")(q0, data)
+    np.testing.assert_allclose(np.asarray(st_scan.q),
+                               np.asarray(st_while.q), atol=1e-8)
+    assert int(st_scan.it) == int(st_while.it) == 28
