@@ -21,6 +21,7 @@ import numpy as np
 from ..models import noise as noise_tables
 from ..models import skeleton as sk
 from ..models.params import SubjectParams
+from ..utils.device import host_cpu
 
 
 class SyntheticScene(NamedTuple):
@@ -138,7 +139,7 @@ def synthesize(q_gt: np.ndarray, subject: SubjectParams,
     from ..ops import camera as cam_ops  # local import to keep numpy-only API
 
     rng = np.random.default_rng(seed)
-    with jax.default_device(jax.devices("cpu")[0]):
+    with host_cpu():
         # host-side rendering: keep the accelerator free of tiny one-off jits
         markers = np.asarray(sk.fk_markers(q_gt, subject))
         N = q_gt.shape[0]

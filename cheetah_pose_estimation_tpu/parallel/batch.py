@@ -19,6 +19,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..solver.kinematic import ARAnchor, CameraSet, GMMPrior, KinematicData
+from ..utils.device import host_cpu
 
 TRIAL_AXIS = "trials"
 
@@ -87,7 +88,7 @@ def pad_and_stack(datas: Sequence[KinematicData],
     # stack on the host CPU: each distinct-shape jnp.asarray on a tunneled
     # accelerator backend costs a compile round-trip, and the consumer jit
     # transfers the one stacked pytree anyway
-    with jax.default_device(jax.devices("cpu")[0]):
+    with host_cpu():
         dt = dtype or jnp.asarray(prepped[0][0].meas).dtype
 
         def stack(*xs):
@@ -138,7 +139,7 @@ def pad_and_stack_kinetic(kds, q_warms, n_frames: Optional[int] = None,
     dt = q_warm_b.dtype
 
     # host-CPU stacking: see pad_and_stack
-    with jax.default_device(jax.devices("cpu")[0]):
+    with host_cpu():
         def stack(field, pad_axis0=True):
             outs = []
             for kd in kds:

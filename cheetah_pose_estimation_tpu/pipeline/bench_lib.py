@@ -23,6 +23,7 @@ from ..parallel import batch as pbatch
 from ..pipeline import initialization as init
 from ..solver import kinematic as kin
 from ..utils import data_ops
+from ..utils.device import host_cpu
 
 REF_TEST_SET = "/root/reference/data/test_set"
 
@@ -80,7 +81,7 @@ def build_monocular_problem(q_gt: np.ndarray, subject_name: str, fps: float,
     # Problem construction is host work: on a tunneled accelerator backend
     # the many distinct-shape scrap ops here would each pay a compile
     # round-trip (~0.4 s), so pin them to the host CPU.
-    with jax.default_device(jax.devices("cpu")[0]):
+    with host_cpu():
         subject = P.get_subject(subject_name)
         markers = np.asarray(sk.fk_markers(q_gt, subject))
         scene = syn.ring_cameras(markers.mean(axis=(0, 1)), n_cams=n_cams,
@@ -151,7 +152,7 @@ def build_physics_batch(datas, qs_default, fpss, subject,
     # distinct-shape scrap op costs a ~0.4 s compile round-trip, and there
     # are hundreds of them across the per-trial loop (the jitted solve
     # transfers the one stacked batch to the device at call time anyway).
-    with jax.default_device(jax.devices("cpu")[0]):
+    with host_cpu():
         gp = None
         if use_gmm:
             try:

@@ -18,6 +18,7 @@ import numpy as np
 
 from ..dynamics.eom import FOOT_NAMES, foot_points
 from ..models.params import SubjectParams
+from ..utils.device import host_cpu
 from . import grf_io
 
 
@@ -66,7 +67,7 @@ def foot_kinematics(q: np.ndarray, dq: np.ndarray,
     """(heights (N, 4), velocities (N, 4, 3)) of the feet along a trajectory."""
     import jax.numpy as jnp
 
-    with jax.default_device(jax.devices("cpu")[0]):
+    with host_cpu():
         fp = lambda qq: foot_points(qq, subject)
         pts, vel = jax.jvp(jax.vmap(fp), (jnp.asarray(q),),
                            (jnp.asarray(dq),))

@@ -161,14 +161,10 @@ class CheetahEstimator:
         """Print (and return) the total objective, the per-term cost
         breakdown, and any estimated shutter delays (reference
         ``solution_details``, acinoset_opt.py:388-398)."""
-        import jax.numpy as jnp
-
         out: Dict[str, float] = {}
         if self.fte is not None and self.q is not None \
                 and self.data is not None and hasattr(self.fte,
                                                       "cost_terms"):
-            import jax
-
             # same matmul precision as the solver's fused cost, and the
             # total is the SUM of the printed terms (evaluating the fused
             # cost separately at a different precision would make the

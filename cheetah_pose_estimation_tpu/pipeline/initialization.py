@@ -10,26 +10,15 @@ per trial before the jitted solver.
 """
 from __future__ import annotations
 
-import contextlib
 from typing import Optional
 
-import jax
 import numpy as np
 from scipy.interpolate import UnivariateSpline
-
-
-def _on_cpu():
-    """Host-side prep (triangulation SVDs, undistortion) runs on the CPU
-    backend: tiny workloads, and e.g. SVD compiles take tens of seconds on
-    TPU — they would dominate the pipeline wall-clock."""
-    try:
-        return jax.default_device(jax.devices("cpu")[0])
-    except RuntimeError:
-        return contextlib.nullcontext()
 
 from ..models.params import SubjectParams
 from ..models.skeleton import LINK_NAMES, MARKERS
 from ..ops import camera as cam_ops
+from ..utils.device import host_cpu
 
 SPINE = MARKERS.index("spine")
 
@@ -50,7 +39,7 @@ def triangulate_spine_multiview(meas: np.ndarray, weight: np.ndarray,
         weight = weight[..., 0]
     N, C = meas.shape[:2]
     undist = cam_ops.undistort_fisheye if fisheye else cam_ops.undistort_pinhole
-    with _on_cpu():
+    with host_cpu():
         ab = np.stack([np.asarray(undist(meas[:, c, SPINE], K[c], D[c]))
                        for c in range(C)], axis=1)    # (N, C, 2)
         ok = weight[:, :, SPINE] > 0                  # (N, C)
@@ -88,7 +77,7 @@ def estimate_monocular_depth(meas: np.ndarray, weight: np.ndarray,
     depth estimate (median-filled where detections are missing).
     """
     undist = cam_ops.undistort_fisheye if fisheye else cam_ops.undistort_pinhole
-    with _on_cpu():
+    with host_cpu():
         ab = np.asarray(undist(meas[:, cam_idx, [NECK_BASE, TAIL_BASE]],
                                K[cam_idx], D[cam_idx]))  # (N, 2, 2)
     sep = np.linalg.norm(ab[:, 0] - ab[:, 1], axis=1)
@@ -122,7 +111,7 @@ def spine_from_single_view(meas: np.ndarray, weight: np.ndarray, cam_idx: int,
         meas = meas[..., 0]
         weight = weight[..., 0]
     undist = cam_ops.undistort_fisheye if fisheye else cam_ops.undistort_pinhole
-    with _on_cpu():
+    with host_cpu():
         ab = np.asarray(undist(meas[:, cam_idx, SPINE], K[cam_idx],
                                D[cam_idx]))
     if dist_to_plane is not None:
@@ -130,7 +119,7 @@ def spine_from_single_view(meas: np.ndarray, weight: np.ndarray, cam_idx: int,
     else:
         depth = estimate_monocular_depth(meas, weight, cam_idx, K, D, fisheye,
                                          body_axis_m)
-    with _on_cpu():
+    with host_cpu():
         X = np.stack([
             np.array(cam_ops.backproject_to_distance(
                 ab[i], float(depth[i]), R[cam_idx], t[cam_idx]))

@@ -28,6 +28,7 @@ from ..data import synthetic as syn
 from ..models import params as params_mod
 from ..models import skeleton as sk
 from ..ops import camera as cam_ops
+from ..utils.device import host_cpu
 from . import estimator as est_mod
 from . import metrics as metrics_mod
 
@@ -288,7 +289,7 @@ def distance_from_camera(data_path: str, com_pos: np.ndarray, cam_idx: int):
 
     k_arr, d_arr, r_arr, t_arr, cam_res, _, _ = dio.find_scene_file(data_path)
     d_arr = d_arr.reshape(-1, 4)
-    with jax.default_device(jax.devices("cpu")[0]):
+    with host_cpu():
         center_img = np.array([cam_res[0] / 2.0, cam_res[1] / 2.0])
         img_pts = np.asarray(cam_ops.project_fisheye(
             com_pos, k_arr[cam_idx], d_arr[cam_idx], r_arr[cam_idx],

@@ -9,6 +9,9 @@ log-normalisers) consumed inside the solver's jitted residual
 """
 from __future__ import annotations
 
+import hashlib
+import os
+import pickle
 from typing import NamedTuple
 
 import jax
@@ -20,7 +23,9 @@ def _host_cpu():
     """Offline training runs on the host CPU: the per-step dispatch latency
     of a tunneled accelerator backend dwarfs the arithmetic for these tiny
     (thousands x tens) problems, and the host supports true float64."""
-    return jax.default_device(jax.devices("cpu")[0])
+    from ..utils.device import host_cpu
+
+    return host_cpu()
 
 
 class GMMParams(NamedTuple):
@@ -80,10 +85,6 @@ def fit(X: np.ndarray, n_components: int, seed: int = 42,
     reference applies to its AR models (acinoset_models.py:191-211)."""
     cache_path = None
     if cache_dir is not None:
-        import hashlib
-        import os
-        import pickle
-
         m = hashlib.md5()
         m.update(np.ascontiguousarray(np.asarray(X, np.float64)).tobytes())
         m.update(repr((n_components, seed, max_iter, tol,
@@ -98,8 +99,6 @@ def fit(X: np.ndarray, n_components: int, seed: int = 42,
     with _host_cpu():
         params = _fit(X, n_components, seed, max_iter, tol, reg_covar)
     if cache_path:
-        import pickle
-
         try:
             with open(cache_path, "wb") as f:
                 pickle.dump((np.asarray(params.weights),

@@ -6,6 +6,7 @@ e.g. acinoset_opt.py:198,657 and acinoset_models.py:35).
 """
 from __future__ import annotations
 
+import os
 import pickle
 from typing import Any
 
@@ -66,8 +67,6 @@ def prior_cache_dir(dataset_path: str) -> str:
     out-of-tree dataset (e.g. the mounted reference snapshot, which must
     never be written to) caches under ~/.cache instead.
     """
-    import os
-
     d = os.path.dirname(os.path.abspath(dataset_path))
     if not d.startswith("/root/reference") and os.access(d, os.W_OK):
         return d
