@@ -217,3 +217,29 @@ def test_example_robustness(tmp_path):
     assert np.mean(vals["data_driven_traj_error"]) < \
         np.mean(vals["single_traj_error"])
     assert (tmp_path / "example-cam-robustness.pdf").exists()
+
+
+def test_check_joint_estimation(tmp_path):
+    rng = np.random.default_rng(3)
+    from cheetah_pose_estimation_tpu.utils import data_ops
+    pos = rng.normal(size=(8, 24, 3))
+    tau_gt = {"hip": rng.normal(size=(8, 2)), "knee": rng.normal(size=(8,))}
+    # the comparison solution has MORE frames and reordered keys — the
+    # per-motor alignment must still give a sane RMSE
+    tau = {"knee": np.concatenate([tau_gt["knee"], np.zeros(3)]),
+           "hip": np.concatenate([tau_gt["hip"] + 0.5,
+                                  np.zeros((3, 2))], axis=0)}
+    for root, t in (("gt", tau_gt), ("est", tau)):
+        d = tmp_path / root / "kinetic_dataset" / "2009_09_08" / "shiraz" \
+            / "trial04" / "fte_kinetic"
+        d.mkdir(parents=True)
+        n = len(next(iter(t.values())))
+        data_ops.save_pickle(str(d / "fte.pickle"),
+                             {"positions": pos[: min(n, 8)], "tau": t})
+    out = R.check_joint_estimation(str(tmp_path / "est"),
+                                   str(tmp_path / "gt"))
+    # hip differs by exactly 0.5 on the overlapping frames, knee by 0
+    expected = np.sqrt(np.mean(np.concatenate(
+        [np.full(16, 0.25), np.zeros(8)])))
+    assert out["torque_rmse"] == pytest.approx(expected, rel=1e-6)
+    assert out["mpjpe_mm"] == pytest.approx(0.0, abs=1e-9)
