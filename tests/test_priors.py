@@ -145,3 +145,18 @@ def test_gmm_solver_export_consistent():
                           np.asarray(params.covs)):
         ref += w * multivariate_normal.pdf(X[:50], mu, cov)
     np.testing.assert_allclose(neglog, -np.log(ref + 1e-12), rtol=1e-6)
+
+
+def test_model_selection_analysis(tmp_path):
+    """Model-level hyper-parameter curves write the reference-schema
+    grid_search.pickle consumed by results.data_driven_analysis."""
+    from cheetah_pose_estimation_tpu.pipeline import studies
+    from cheetah_pose_estimation_tpu.utils import data_ops
+
+    out = studies.model_selection_analysis(
+        pose_components=(1, 2), window_sizes=(1,), out_dir=str(tmp_path))
+    assert len(out["gmm_train_likelihood"]) == 2
+    assert len(out["lr_train_rmse"]) == 2          # L1 + L2 at one window
+    assert all(np.isfinite(out["lr_validation_rmse"]))
+    saved = data_ops.load_pickle(str(tmp_path / "grid_search.pickle"))
+    assert saved.keys() == out.keys()
