@@ -122,12 +122,92 @@ def save_metadata(data_dir: str, start_frame: int, end_frame: int,
 DLC_SCORER = "cheetah_tpu"
 
 
+def _write_pandas_h5_table(fpath: str, df: pd.DataFrame):
+    """Write a DataFrame as a pandas PyTables 'table'-format HDF5 file via
+    h5py (pytables is absent on this image). Produces the same essential
+    layout real DLC ``.h5`` predictions use — a ``df_with_missing/table``
+    compound dataset with the columns pickled into ``non_index_axes`` — so
+    :func:`load_pandas_h5` round-trips it."""
+    import pickle as _p
+
+    import h5py
+    values = df.to_numpy(np.float64)
+    index = df.index.to_numpy(np.int64)
+    cols = list(df.columns)
+    dt = np.dtype([("index", "<i8"),
+                   ("values_block_0", "<f8", (values.shape[1],))])
+    arr = np.empty(len(index), dt)
+    arr["index"] = index
+    arr["values_block_0"] = values
+    with h5py.File(fpath, "w") as f:
+        g = f.create_group("df_with_missing")
+        g.attrs["pandas_type"] = np.bytes_(b"frame_table")
+        g.attrs["table_type"] = np.bytes_(b"appendable_frame")
+        g.attrs["levels"] = np.int64(df.columns.nlevels)
+        g.attrs["non_index_axes"] = np.bytes_(
+            _p.dumps([(1, cols)], protocol=0))
+        g.attrs["index_cols"] = np.bytes_(
+            _p.dumps([(0, "index")], protocol=0))
+        g.attrs["encoding"] = np.bytes_(b"UTF-8")
+        g.create_dataset("table", data=arr)
+
+
+def load_pandas_h5(fpath: str) -> pd.DataFrame:
+    """Read a pandas-written HDF5 table directly with h5py (no pytables).
+
+    Handles the PyTables 'table' format (``<key>/table`` compound dataset,
+    columns pickled in the group's ``non_index_axes`` attr) that DeepLabCut
+    and the reference's shipped datasets use
+    (``acinoset_misc.py:1545-1572``, ``models/data-driven/*.h5``), and the
+    'fixed' format (``axis0*/axis1/block0_values``) as a fallback.
+    """
+    import pickle as _p
+
+    import h5py
+    with h5py.File(fpath, "r") as f:
+        key = list(f.keys())[0]
+        g = f[key]
+        if "table" in g:                       # PyTables 'table' format
+            t = g["table"][...]
+            index = t["index"]
+            blocks = [t[n] for n in t.dtype.names if n.startswith("values")]
+            values = np.concatenate(
+                [b.reshape(len(t), -1) for b in blocks], axis=1)
+            cols = _p.loads(bytes(g.attrs["non_index_axes"]))[0][1]
+        else:                                   # 'fixed' format
+            index = g["axis1"][...]
+            values = g["block0_values"][...]
+            nlev = sum(1 for k in g if k.startswith("axis0_level"))
+            if nlev:
+                levels = [[v.decode() if isinstance(v, bytes) else v
+                           for v in g[f"axis0_level{i}"][...]]
+                          for i in range(nlev)]
+                labels = [g[f"axis0_label{i}"][...] for i in range(nlev)]
+                cols = [tuple(levels[i][labels[i][j]] for i in range(nlev))
+                        for j in range(len(labels[0]))]
+            else:
+                cols = [v.decode() if isinstance(v, bytes) else v
+                        for v in g["axis0"][...]]
+    cols = [tuple(x.decode() if isinstance(x, bytes) else x for x in c)
+            if isinstance(c, tuple) else
+            (c.decode() if isinstance(c, bytes) else c) for c in cols]
+    if cols and isinstance(cols[0], tuple):
+        names = (["scorer", "bodyparts", "coords"]
+                 if len(cols[0]) == 3 else None)
+        columns = pd.MultiIndex.from_tuples(cols, names=names)
+    else:
+        columns = pd.Index(cols)
+    return pd.DataFrame(values, index=np.asarray(index), columns=columns)
+
+
 def save_dlc_table(fpath: str, xy: np.ndarray, likelihood: np.ndarray,
                    bodyparts: Sequence[str] = MARKERS,
-                   scorer: str = DLC_SCORER, start_frame: int = 0):
+                   scorer: str = DLC_SCORER, start_frame: int = 0,
+                   write_csv: bool = True):
     """Write a DLC-style prediction table (n_frames, L, 2) + (n_frames, L).
 
-    Emits .h5 (if pytables is available) and always a .csv sibling.
+    Emits a real .h5 (pytables if available, else the h5py writer) and,
+    unless disabled, a .csv sibling.
     """
     n, L = xy.shape[0], xy.shape[1]
     cols = pd.MultiIndex.from_product(
@@ -138,20 +218,26 @@ def save_dlc_table(fpath: str, xy: np.ndarray, likelihood: np.ndarray,
                       index=range(start_frame, start_frame + n))
     os.makedirs(os.path.dirname(fpath), exist_ok=True)
     base = os.path.splitext(fpath)[0]
-    df.to_csv(base + ".csv")
+    if write_csv:
+        df.to_csv(base + ".csv")
     try:
         df.to_hdf(base + ".h5", key="df_with_missing", mode="w")
     except ImportError:
-        pass
+        _write_pandas_h5_table(base + ".h5", df)
 
 
 def load_dlc_table(fpath: str) -> pd.DataFrame:
-    """Load a DLC table (.h5 with pytables, else the .csv sibling)."""
+    """Load a DLC table: .h5 via pytables when present, else the h5py-direct
+    reader (real AcinoSet trials ship .h5 only); .csv as a last resort."""
     base, ext = os.path.splitext(fpath)
     if ext == ".h5":
         try:
             return pd.read_hdf(fpath)
         except ImportError:
+            pass
+        try:
+            return load_pandas_h5(fpath)
+        except Exception:
             fpath = base + ".csv"
     return pd.read_csv(fpath, header=[0, 1, 2], index_col=0)
 

@@ -25,13 +25,18 @@ POSE_COLUMNS = [
 
 
 def load_pose_dataset(path: str) -> pd.DataFrame:
-    """Load dataset_full_pose / validation_dataset; accepts .h5 (pytables) or
-    the sibling .csv (the shipped h5 needs pytables, absent in this image)."""
+    """Load dataset_full_pose / validation_dataset; accepts .h5 (pytables,
+    else the h5py-direct pandas-table reader) or a .csv."""
     base, ext = os.path.splitext(path)
     if ext == ".h5":
         try:
             return pd.read_hdf(path)
         except ImportError:
+            pass
+        try:
+            from ..data.io import load_pandas_h5
+            return load_pandas_h5(path)
+        except Exception:
             path = base + ".csv"
     return pd.read_csv(path, index_col=0)
 

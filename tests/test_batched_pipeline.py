@@ -10,8 +10,8 @@ from cheetah_pose_estimation_tpu.pipeline import batched as batched_mod
 from cheetah_pose_estimation_tpu.pipeline import run_dataset as rd
 
 REF = "/root/reference/data/test_set"
-pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
-                                reason="reference test_set missing")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference test_set missing")]
 
 
 def test_batched_matches_quality(tmp_path):

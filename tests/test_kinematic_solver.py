@@ -15,6 +15,8 @@ from cheetah_pose_estimation_tpu.ops import banded
 from cheetah_pose_estimation_tpu.solver import gn
 from cheetah_pose_estimation_tpu.solver import kinematic as kin
 
+pytestmark = pytest.mark.slow
+
 REF_PICKLE = ("/root/reference/data/test_set/2019_03_07/phantom/run/"
               "fte_kinematic/fte.pickle")
 

@@ -9,8 +9,8 @@ from cheetah_pose_estimation_tpu.data import io as dio
 from cheetah_pose_estimation_tpu.pipeline import run_dataset as rd
 
 REF = "/root/reference/data/test_set/kinetic_dataset"
-pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
-                                reason="reference test_set missing")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference test_set missing")]
 
 
 def test_run_kinetic_single_trial(tmp_path):

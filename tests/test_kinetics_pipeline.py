@@ -16,8 +16,8 @@ from cheetah_pose_estimation_tpu.pipeline import estimator as est_mod
 REF_PICKLE = ("/root/reference/data/test_set/2019_03_07/phantom/run/"
               "fte_kinematic/fte.pickle")
 
-pytestmark = pytest.mark.skipif(not os.path.exists(REF_PICKLE),
-                                reason="reference pickle unavailable")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(not os.path.exists(REF_PICKLE),
+                                reason="reference pickle unavailable")]
 
 
 @pytest.fixture(scope="module")

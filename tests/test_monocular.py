@@ -26,9 +26,9 @@ REF_PICKLE = ("/root/reference/data/test_set/2019_03_07/phantom/run/"
 DATA = "/root/reference/models/data-driven/dataset_full_pose.csv"
 VAL = "/root/reference/models/data-driven/validation_dataset.csv"
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not (os.path.exists(REF_PICKLE) and os.path.exists(DATA)),
-    reason="reference artifacts missing")
+    reason="reference artifacts missing")]
 
 CAM_IDX = 2
 
