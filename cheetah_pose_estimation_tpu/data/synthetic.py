@@ -127,13 +127,99 @@ def gallop_trajectory(n_frames: int = 60, fps: float = 120.0,
     return q
 
 
+# Left/right marker pairs (limb-confusion corruption): indices into
+# skeleton.MARKERS — r_eye/l_eye, the four right-limb chains vs their left
+# counterparts.
+_LR_PAIRS = np.array([[1, 2],                       # eyes
+                      [8, 12], [9, 13], [10, 14], [11, 15],   # front limbs
+                      [16, 20], [17, 21], [18, 22], [19, 23]])  # back limbs
+# marker groups that occlude together (a whole limb, the head, the tail)
+_OCCLUSION_GROUPS = [[0, 1, 2], [3, 4, 5], [6, 7],
+                     [8, 9, 10, 11], [12, 13, 14, 15],
+                     [16, 17, 18, 19], [20, 21, 22, 23]]
+# the two front / two back limb chains, for whole-limb confusion bursts
+_LIMB_SWAPS = [(np.array([8, 9, 10, 11]), np.array([12, 13, 14, 15])),
+               (np.array([16, 17, 18, 19]), np.array([20, 21, 22, 23]))]
+
+
+def corrupt_dlc(meas: np.ndarray, likelihood: np.ndarray,
+                rng: np.random.Generator,
+                occlusion_rate: float = 0.0, occlusion_len: float = 8.0,
+                confusion_rate: float = 0.0, confusion_len: float = 6.0,
+                freeze_prob: float = 0.35, dlc_thresh: float = 0.5,
+                lik_noise_px: float = 12.0
+                ) -> Tuple[np.ndarray, np.ndarray]:
+    """DLC-style *correlated* failure modes (the regime where the reference's
+    monocular default collapses and the learned priors rescue it,
+    ``acinoset_misc.py:291-336,680-714``):
+
+    * **occlusion bursts** — a marker group (whole limb / head / tail)
+      disappears for a contiguous window in one camera; with probability
+      ``freeze_prob`` DLC instead reports the *entry position* with
+      confident likelihood (tracking stuck on the occluder edge);
+    * **limb left/right confusion** — a front or back limb pair swaps
+      detections for a window, at full confidence (legs crossing);
+    * **likelihood-correlated noise** — below-threshold detections are not
+      merely gated out upstream: their reported positions degrade smoothly
+      (extra noise ~ ``lik_noise_px * (thresh - lik)``), matching how real
+      DLC heatmap peaks blur as confidence drops.
+
+    ``meas`` (N, C, L, 2) and ``likelihood`` (N, C, L) are modified on a
+    copy; rates are expected *events per camera per 100 frames*.
+    """
+    meas = meas.copy()
+    likelihood = likelihood.copy()
+    N, C, L = likelihood.shape
+
+    def windows(rate, mean_len):
+        n_ev = rng.poisson(rate * N / 100.0)
+        out = []
+        for _ in range(n_ev):
+            s = int(rng.integers(0, max(N - 2, 1)))
+            ln = max(2, int(rng.exponential(mean_len)))
+            out.append((s, min(s + ln, N)))
+        return out
+
+    for c in range(C):
+        for (s, e) in windows(occlusion_rate, occlusion_len):
+            grp = _OCCLUSION_GROUPS[int(rng.integers(len(_OCCLUSION_GROUPS)))]
+            if rng.uniform() < freeze_prob:
+                # confident-but-frozen: stuck at the entry position
+                meas[s:e, c, grp] = meas[s, c, grp][None]
+                likelihood[s:e, c, grp] = rng.uniform(
+                    0.85, 1.0, size=(e - s, len(grp)))
+            else:
+                likelihood[s:e, c, grp] = rng.uniform(
+                    0.0, dlc_thresh, size=(e - s, len(grp)))
+        for (s, e) in windows(confusion_rate, confusion_len):
+            a, b = _LIMB_SWAPS[int(rng.integers(len(_LIMB_SWAPS)))]
+            tmp = meas[s:e, c, a].copy()
+            meas[s:e, c, a] = meas[s:e, c, b]
+            meas[s:e, c, b] = tmp
+            likelihood[s:e, c, a] = rng.uniform(0.8, 1.0,
+                                                size=(e - s, len(a)))
+            likelihood[s:e, c, b] = rng.uniform(0.8, 1.0,
+                                                size=(e - s, len(b)))
+
+    # likelihood-correlated degradation of low-confidence detections
+    low = likelihood < dlc_thresh
+    extra = lik_noise_px * (dlc_thresh - likelihood[low])
+    meas[low] += rng.normal(size=(low.sum(), 2)) * extra[:, None]
+    return meas, likelihood
+
+
 def synthesize(q_gt: np.ndarray, subject: SubjectParams,
                scene: Optional[SyntheticScene] = None,
                noise_px: float = 1.5, outlier_frac: float = 0.02,
                outlier_px: float = 60.0, drop_frac: float = 0.05,
                dlc_thresh: float = 0.5, seed: int = 0,
-               subject_name: str = "acinoset") -> SyntheticTrial:
-    """Render noisy DLC-like detections of a q trajectory."""
+               subject_name: str = "acinoset",
+               occlusion_rate: float = 0.0, confusion_rate: float = 0.0
+               ) -> SyntheticTrial:
+    """Render noisy DLC-like detections of a q trajectory.
+
+    ``occlusion_rate`` / ``confusion_rate`` > 0 additionally apply the
+    correlated DLC failure model (:func:`corrupt_dlc`)."""
     import jax
 
     from ..ops import camera as cam_ops  # local import to keep numpy-only API
@@ -161,6 +247,10 @@ def synthesize(q_gt: np.ndarray, subject: SubjectParams,
                          0.0, 1.0)
     drop = rng.uniform(size=likelihood.shape) < drop_frac
     likelihood[drop] = rng.uniform(0.0, dlc_thresh, size=drop.sum())
+    if occlusion_rate > 0 or confusion_rate > 0:
+        meas, likelihood = corrupt_dlc(
+            meas, likelihood, rng, occlusion_rate=occlusion_rate,
+            confusion_rate=confusion_rate, dlc_thresh=dlc_thresh)
     return SyntheticTrial(q_gt=q_gt, markers_gt=markers,
                           meas=meas[..., None], likelihood=likelihood[..., None],
                           scene=scene, subject_name=subject_name)

@@ -212,6 +212,8 @@ def run_physics_batched(root_dir: str, dir_prefix: str,
                 cj = _json.load(f)
             N = est.params.end_frame - est.params.start_frame
             stance = kn.stance_matrix(cj["contacts"], cj["start_frame"], N)
+            stance = kn.prune_stance(stance, np.asarray(d["q"]), subject,
+                                     1.0 / est.scene.fps)
             kds.append(kn.KineticData(
                 base=est.data._replace(gmm=gp),
                 stance=jnp.asarray(stance),

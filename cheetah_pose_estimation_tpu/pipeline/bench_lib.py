@@ -72,8 +72,70 @@ def empty_priors(N: int):
     return gmmp, ar
 
 
+def build_dryrun_problems(n: int, n_frames: int = 64):
+    """n production-shape problems for the multichip dry run: per trial a
+    6-camera multi-view KinematicData, a monocular priors-ON (GMM + AR)
+    KinematicData, and the shared q0 — real reference trajectories at the
+    production trial length (64 frames, SURVEY §6)."""
+    trajs = load_reference_trajectories()
+    gp = None
+    mm = None
+    try:
+        from ..priors import armodel, dataset as prior_ds, gmm as gmm_mod
+        from . import estimator as est_mod
+        dset = est_mod.DATA_DRIVEN_DATASET
+        df = prior_ds.load_pose_dataset(dset)
+        gp = gmm_mod.to_solver_prior(gmm_mod.fit(
+            df.iloc[:, 6:28].to_numpy(), n_components=5, seed=42,
+            cache_dir=data_ops.prior_cache_dir(dset)))
+        mm = armodel.train_motion_model(
+            dset, window_size=4, lasso=True,
+            cache_dir=data_ops.prior_cache_dir(dset))
+    except Exception:
+        pass  # hermetic fallback below
+
+    datas_mv, datas_mono, q0s = [], [], []
+    with host_cpu():
+        for i in range(n):
+            q_gt, name, fps = trajs[i % len(trajs)]
+            if q_gt.shape[0] < n_frames:
+                reps = -(-n_frames // q_gt.shape[0])
+                q_gt = np.concatenate([q_gt] * reps)[:n_frames]
+            q_gt = q_gt[:n_frames]
+            d, q0, _ = build_monocular_problem(q_gt, "acinoset", fps,
+                                               seed=i, cam_idx=2)
+            mono = d
+            if gp is not None:
+                x_init = np.asarray(sk.relative_pose(q0))
+                from ..priors import armodel
+                y_pred, valid = armodel.anchor_predictions(mm, x_init)
+                mono = mono._replace(
+                    gmm=gp, ar=kin.ARAnchor(y_pred,
+                                            armodel.motion_weights(mm),
+                                            valid))
+            else:
+                # reference data unavailable: a 5-component prior around the
+                # init poses + a weak AR anchor keep the prior code paths hot
+                x_init = np.asarray(sk.relative_pose(q0))
+                gmmp = kin.GMMPrior(
+                    np.tile(x_init[:1, 6:28], (5, 1))
+                    + 0.01 * np.arange(5)[:, None],
+                    np.tile(np.eye(22)[None], (5, 1, 1)),
+                    np.full((5,), -np.log(5.0)))
+                mono = mono._replace(
+                    gmm=gmmp, ar=kin.ARAnchor(x_init, np.full(28, 1e-3),
+                                              np.ones(len(x_init))))
+            datas_mono.append(mono)
+            q0s.append(q0)
+            # multi-view variant: same trial, all 6 cameras, no priors
+            d_mv, _, _ = build_monocular_problem(q_gt, "acinoset", fps,
+                                                 seed=i, cam_idx=None)
+            datas_mv.append(d_mv)
+    return datas_mv, datas_mono, q0s
+
+
 def build_monocular_problem(q_gt: np.ndarray, subject_name: str, fps: float,
-                            cam_idx: int = 2, seed: int = 0,
+                            cam_idx: Optional[int] = 2, seed: int = 0,
                             n_cams: int = 6,
                             noise_px: float = 1.5) -> Tuple[kin.KinematicData,
                                                             np.ndarray,
@@ -95,13 +157,13 @@ def build_monocular_problem(q_gt: np.ndarray, subject_name: str, fps: float,
                                         fisheye=True, cam_idx=cam_idx)
     N = q_gt.shape[0]
     gmmp, ar = empty_priors(N)
+    sl = (slice(None) if cam_idx is None
+          else slice(cam_idx, cam_idx + 1))
     data = kin.KinematicData(
-        meas=trial.meas[:, cam_idx:cam_idx + 1],
-        weight=w[:, cam_idx:cam_idx + 1],
-        cam=kin.CameraSet(scene.K[cam_idx:cam_idx + 1],
-                          scene.D[cam_idx:cam_idx + 1],
-                          scene.R[cam_idx:cam_idx + 1],
-                          scene.t[cam_idx:cam_idx + 1]),
+        meas=trial.meas[:, sl],
+        weight=w[:, sl],
+        cam=kin.CameraSet(scene.K[sl], scene.D[sl],
+                          scene.R[sl], scene.t[sl]),
         h=np.asarray(1.0 / fps),
         acc_weight=noise_tables.acc_model_weights(),
         frame_valid=np.ones(N), gmm=gmmp, ar=ar)

@@ -26,15 +26,6 @@ import time
 from typing import Dict, List, Optional
 
 import jax
-
-# The file-based pipeline is accuracy-first: the physics-based stage's normal
-# system spans ~1e10 in curvature (EOM 1/h^4 channel vs. weak priors), beyond
-# float32 solvability, so double precision is enabled globally here. TPU
-# executes f64 via emulation (correct, slower); the high-throughput batched
-# kinematic path (bench.py / solver APIs) explicitly passes float32 data and
-# is unaffected by this flag beyond defaults.
-jax.config.update("jax_enable_x64", True)
-
 import jax.numpy as jnp
 import numpy as np
 
@@ -392,32 +383,6 @@ def _load_measurements(est: CheetahEstimator):
         frame_valid=jnp.ones(N), gmm=gmmp, ar=ar)
 
 
-def _fit_shutter_delays(fte, q, data, scene):
-    """Per-camera 1-D scans of the shutter delay tau at fixed q (camera 0
-    pinned to 0), then refresh the lagged base-velocity/acceleration terms."""
-    q_np = np.asarray(q)
-    h = 1.0 / scene.fps
-    vel = np.zeros((q_np.shape[0], 3))
-    acc = np.zeros((q_np.shape[0], 3))
-    vel[1:] = (q_np[1:, :3] - q_np[:-1, :3]) / h
-    acc[2:] = (vel[2:] - vel[1:-1]) / h
-    C = data.meas.shape[1]
-    taus = np.linspace(-h, h, 41)
-    best = np.zeros(C)
-    base_tau = jnp.zeros(C)
-    for c in range(1, C):
-        costs = []
-        for t in taus:
-            d = data._replace(sd_tau=base_tau.at[c].set(t),
-                              sd_vel=jnp.asarray(vel),
-                              sd_acc=jnp.asarray(acc))
-            costs.append(float(fte.cost(q, d)))
-        best[c] = taus[int(np.argmin(costs))]
-    data = data._replace(sd_tau=jnp.asarray(best), sd_vel=jnp.asarray(vel),
-                         sd_acc=jnp.asarray(acc))
-    return data, best
-
-
 def estimate_kinematics(est: CheetahEstimator,
                         monocular_constraints: bool = False,
                         disable_pose_prior: bool = False,
@@ -490,15 +455,18 @@ def estimate_kinematics(est: CheetahEstimator,
     run = fte.make_solver()
     state = run(jnp.asarray(q0), data)
     if use_shutter:
-        # alternate: fit per-camera shutter delays by 1-D scans at fixed q,
-        # then re-solve with tau LIVE-coupled to the trajectory (the shift's
-        # base dq/ddq terms are functions of the current q inside the
-        # residual with an exact chain-rule gradient — the reference's joint
-        # coupling, acinoset_misc.py:278-288; camera 0 pinned)
-        for _ in range(2):
-            data, tau = _fit_shutter_delays(fte, state.q, data, scene)
-            state = run(state.q, data)
-        est.shutter_delay = np.asarray(tau)
+        # joint (q, tau) refinement: the per-camera delays are solver
+        # unknowns coupled to the trajectory through a bordered banded
+        # system (Schur complement on the banded factor) — the reference's
+        # free shutter_delay[C] Var (acinoset_misc.py:180-183), with the
+        # exact chain rule through the live base-velocity shift
+        jrun = fte.make_joint_shutter_solver()
+        C = data.meas.shape[1]
+        bstate = jrun(state.q, jnp.zeros(C, state.q.dtype), data)
+        data = data._replace(sd_tau=bstate.tau)
+        state = state._replace(q=bstate.q, cost=bstate.cost,
+                               it=state.it + bstate.it)
+        est.shutter_delay = np.asarray(bstate.tau)
         est.data = data
     if use_ar and motion_prior_rolling > 0:
         for _ in range(motion_prior_rolling):
@@ -585,6 +553,7 @@ def estimate_kinetics(est: CheetahEstimator,
                       ground_constraint: bool = False,
                       disable_pose_prior: bool = False,
                       use_2d_reprojections: bool = True,
+                      enable_lcp: bool = False,
                       out_fname: str = "fte",
                       out_dir_prefix: Optional[str] = None,
                       solver_output: bool = False,
@@ -612,6 +581,8 @@ def estimate_kinetics(est: CheetahEstimator,
         cj = _json.load(f)
     N = p.end_frame - p.start_frame
     stance = kn.stance_matrix(cj["contacts"], cj["start_frame"], N)
+    stance = kn.prune_stance(stance, np.asarray(q_warm), est.subject,
+                             1.0 / est.scene.fps)
     if synthesised_grf:
         from . import contacts as contacts_mod
         gz, gxy = contacts_mod.get_grf_profile(
@@ -647,6 +618,7 @@ def estimate_kinetics(est: CheetahEstimator,
         fisheye=not p.kinetic_dataset, robust=not p.hand_labeled_data,
         use_gmm=use_gmm, kinetic_dataset=p.kinetic_dataset,
         use_2d_reprojections=use_2d_reprojections,
+        enable_lcp=enable_lcp,
         foot_height_bound=0.03 if p.kinetic_dataset else 0.1,
         cam_multipliers=(1.0, 1.0, 0.6, 0.6) if p.kinetic_dataset else ())
     fte = kn.KineticFTE(cfg, est.subject)
@@ -691,6 +663,8 @@ def estimate_static_grf(est: CheetahEstimator, monocular: bool = False,
         cj = _json.load(f)
     N = d["q"].shape[0]
     stance = kn.stance_matrix(cj["contacts"], cj["start_frame"], N)
+    stance = kn.prune_stance(stance, np.asarray(d["q"]), est.subject,
+                             1.0 / est.scene.fps)
     gz, gxy = _solve(_jnp.asarray(d["q"]), _jnp.asarray(d["dq"]),
                      _jnp.asarray(d["ddq"]), _jnp.asarray(stance),
                      est.subject)
@@ -731,6 +705,8 @@ def estimate_grf(est: CheetahEstimator, out_dir_prefix: Optional[str] = None,
               encoding="utf-8") as f:
         cj = _json.load(f)
     stance = kn.stance_matrix(cj["contacts"], cj["start_frame"], N)
+    stance = kn.prune_stance(stance, np.asarray(q_warm), est.subject,
+                             1.0 / est.scene.fps)
     # anchor weight ~ (10% of typical torque)^-2
     scale = max(float(np.abs(tau_prev).mean()), 1e-2)
     anchor_w = 1.0 / (0.1 * scale)**2

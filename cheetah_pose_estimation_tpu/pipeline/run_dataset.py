@@ -61,21 +61,41 @@ KINETIC_SET: Tuple[Tuple[str, str, str], ...] = (
 REF_TEST_SET = "/root/reference/data/test_set"
 
 
+def _reference_gt_trajectory(date: str, cheetah: str, trial_name: str,
+                             fallback_frames: int, fallback_seed: int,
+                             fallback_fps: float = 120.0) -> np.ndarray:
+    """Ground-truth q for a synthetic trial: prefer the shipped
+    *physics-based* solution (``fte_kinetic_<cam>`` — dynamically consistent
+    by construction, so the physics stage is informative about GT, and
+    on-manifold for the learned priors), then the multi-view kinematic one,
+    then the procedural gallop."""
+    from glob import glob as _glob
+    trial_dir = os.path.join(REF_TEST_SET, date, cheetah, trial_name)
+    cands = sorted(_glob(os.path.join(trial_dir, "fte_kinetic_*",
+                                      "fte.pickle")))
+    cands.append(os.path.join(trial_dir, "fte_kinematic", "fte.pickle"))
+    for p in cands:
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                return pickle.load(f)["q"]
+    return syn.gallop_trajectory(fallback_frames, fps=fallback_fps,
+                                 seed=fallback_seed)
+
+
 def materialize_synthetic_testset(root_dir: str, n_cams: int = 6,
                                   seed: int = 0,
-                                  noise_px: float = 1.5) -> List[str]:
+                                  noise_px: float = 1.5,
+                                  occlusion_rate: float = 2.0,
+                                  confusion_rate: float = 1.2) -> List[str]:
     """Create an AcinoSet-style directory tree for every test trial, rendered
-    from the reference's shipped ground-truth trajectories."""
+    from the reference's shipped ground-truth trajectories with the
+    correlated DLC failure model (synthetic.corrupt_dlc) — the regime the
+    reference's monocular modes were designed for."""
     made = []
     for i, (cheetah, date, trial_name) in enumerate(TEST_SET):
-        ref_pickle = os.path.join(REF_TEST_SET, date, cheetah, trial_name,
-                                  "fte_kinematic", "fte.pickle")
         data_path = os.path.join(date, cheetah, trial_name)
-        if os.path.exists(ref_pickle):
-            with open(ref_pickle, "rb") as f:
-                q_gt = pickle.load(f)["q"]
-        else:
-            q_gt = syn.gallop_trajectory(40 + 2 * i, seed=i)
+        q_gt = _reference_gt_trajectory(date, cheetah, trial_name,
+                                        40 + 2 * i, i)
         subject = params_mod.get_subject(cheetah)
         fps = 120.0 if "2019" in date else 90.0
         markers = np.asarray(sk.fk_markers(q_gt, subject))
@@ -83,7 +103,9 @@ def materialize_synthetic_testset(root_dir: str, n_cams: int = 6,
                                  fps=fps, seed=seed + i)
         tr = syn.synthesize(q_gt, subject, scene, noise_px=noise_px,
                             outlier_frac=0.02, seed=seed + i,
-                            subject_name=cheetah)
+                            subject_name=cheetah,
+                            occlusion_rate=occlusion_rate,
+                            confusion_rate=confusion_rate)
         syn.write_trial_dir(tr, root_dir, data_path,
                             monocular_cam=2)
         # stash ground truth for scoring against the true synthetic GT
@@ -102,14 +124,9 @@ def materialize_synthetic_kinetic_testset(root_dir: str, n_cams: int = 4,
     for i, (cheetah, date, trial) in enumerate(KINETIC_SET):
         data_path = os.path.join("kinetic_dataset", date, cheetah,
                                  f"trial{trial}")
-        ref_pickle = os.path.join(REF_TEST_SET, "kinetic_dataset", date,
-                                  cheetah, f"trial{trial}",
-                                  "fte_kinematic", "fte.pickle")
-        if os.path.exists(ref_pickle):
-            with open(ref_pickle, "rb") as f:
-                q_gt = pickle.load(f)["q"]
-        else:
-            q_gt = syn.gallop_trajectory(50, fps=200.0, seed=seed + i)
+        q_gt = _reference_gt_trajectory(
+            os.path.join("kinetic_dataset", date), cheetah, f"trial{trial}",
+            50, seed + i, fallback_fps=200.0)
         subject = params_mod.get_subject(cheetah)
         markers = np.asarray(sk.fk_markers(q_gt, subject))
         scene = syn.ring_cameras(markers.mean(axis=(0, 1)), n_cams=n_cams,
@@ -308,16 +325,59 @@ def distance_from_camera(data_path: str, com_pos: np.ndarray, cam_idx: int):
     return dist, angles
 
 
+# Hand-curated AcinoSet frame ranges (reference run_dataset.py:1245-1300,
+# active entries only): dirs outside this table had bad input data and the
+# reference skipped them — the curation IS the dataset definition.
+ACINOSET_SELECTED_FRAMES: Dict[str, Tuple[int, int]] = {
+    "2019_03_03/phantom/run": (100, 220),
+    "2019_03_09/lily/run": (80, 170),
+    "2017_08_29/top/phantom/run1_1": (20, 160),
+    "2017_12_21/top/lily/run1": (10, 105),
+    "2017_12_21/bottom/jules/flick2_2": (5, 150),
+    "2017_12_10/top/zorro/flick1": (115, 210),
+    "2017_12_10/bottom/zorro/flick2": (5, 140),
+    "2017_09_03/bottom/zorro/run2_1": (130, 270),
+    "2017_12_09/bottom/phantom/run2": (20, 115),
+    "2017_09_03/bottom/zorro/run2_3": (5, 150),
+    "2017_08_29/top/jules/run1_1": (10, 110),
+    "2017_09_02/top/jules/run1": (10, 110),
+    "2019_03_07/menya/run": (60, 160),
+    "2017_09_02/top/phantom/run1_2": (20, 160),
+    "2019_03_07/phantom/run": (100, 200),
+    "2019_02_27/romeo/run": (40, 150),
+    "2019_02_27/romeo/flick": (10, 150),
+    "2017_08_29/top/jules/run1_2": (30, 130),
+    "2017_12_16/top/cetane/run1": (110, 210),
+    "2019_02_27/kiara/run": (20, 100),
+    "2017_09_02/bottom/jules/run2": (50, 160),
+    "2017_09_03/bottom/zorro/run2_2": (32, 141),
+    "2019_03_09/jules/flick1": (40, 160),
+    "2017_09_03/bottom/zorro/flick2": (10, 100),
+    "2017_08_29/bottom/zorro/flick2": (75, 135),
+    "2017_12_09/bottom/jules/flick2": (5, 75),
+    "2017_12_17/bottom/zorro/flick2": (5, 145),
+}
+
+# erroneous-input skip list (reference bad_videos, run_dataset.py:1302)
+ACINOSET_BAD_VIDEOS: Tuple[str, ...] = ()
+
+
 def run_acinoset(root_dir: str, dir_prefix: str,
                  modes: Tuple[str, ...] = ("ground-truth", "default",
                                            "data-driven"),
                  enable_ppm_for_flicks: bool = True,
+                 use_curated_table: bool = True,
                  verbose: bool = False) -> List[str]:
-    """Batch over every AcinoSet-style trial directory under root_dir
-    (reference run_acinoset, run_dataset.py:1234-1331: it reads a curated
-    test_set.pickle with manual frame ranges, which is not distributed —
-    here any directory with metadata.json + dlc/ is processed; PPMs are
-    enabled for 'flick' trials as the reference does)."""
+    """Batch over AcinoSet trial directories under root_dir (reference
+    run_acinoset, run_dataset.py:1234-1331).
+
+    With ``use_curated_table`` (default), only dirs in
+    ``ACINOSET_SELECTED_FRAMES`` run, with the hand-curated frame ranges and
+    the ``ACINOSET_BAD_VIDEOS`` skip list — the reference's curation
+    semantics for real data. Dirs not in the table (e.g. synthetic trials)
+    still run when the flag is off, windowed by their metadata.json. PPMs
+    are enabled for 'flick' trials as the reference does
+    (run_dataset.py:1323)."""
     import glob as _glob
     done = []
     for meta in sorted(_glob.glob(os.path.join(root_dir, "**",
@@ -327,6 +387,26 @@ def run_acinoset(root_dir: str, dir_prefix: str,
         if not os.path.isdir(os.path.join(trial_dir, "dlc")):
             continue
         data_path = os.path.relpath(trial_dir, root_dir)
+        if data_path in ACINOSET_BAD_VIDEOS:
+            continue
+        frames = ACINOSET_SELECTED_FRAMES.get(data_path)
+        if use_curated_table and frames is None and any(
+                data_path.startswith(y) for y in
+                ("2017_", "2019_", "2016_")):
+            # a real AcinoSet dir outside the curated table was excluded for
+            # bad input data (commented-out entries in the reference's
+            # table) — skip it; non-AcinoSet-named dirs (synthetic trials)
+            # run windowed by their own metadata.json
+            continue
+        start, end = (frames if frames is not None else (-1, -1))
+        if frames is not None:
+            # a synthetic materialization of a curated trial is shorter than
+            # the real video; only apply the manual window when the trial's
+            # own frame range covers it, else defer to metadata.json
+            with open(meta, encoding="utf-8") as f:
+                md = json.load(f)
+            if not (md["start_frame"] <= start and end <= md["end_frame"]):
+                start, end = -1, -1
         cheetah = next((n for n in ("jules", "phantom", "shiraz", "arabia")
                         if n in data_path), "acinoset")
         is_flick = "flick" in data_path
@@ -336,6 +416,7 @@ def run_acinoset(root_dir: str, dir_prefix: str,
             for mode in modes:
                 est = est_mod.init_trajectory(
                     root_dir, data_path, cheetah, kinematic_model=True,
+                    start_frame=start, end_frame=end,
                     monocular_enable=mode != "ground-truth",
                     enable_ppm=use_ppm)
                 est_mod.estimate_kinematics(
@@ -640,7 +721,12 @@ def main(argv=None):
     if args.run_grid_search:
         from . import results as results_mod
         from . import studies
-        studies.run_grid_search(args.root_dir, args.out_dir_prefix, test_set)
+        if args.batched:
+            studies.run_grid_search_batched(
+                args.root_dir, args.out_dir_prefix, test_set, cam_overrides)
+        else:
+            studies.run_grid_search(args.root_dir, args.out_dir_prefix,
+                                    test_set)
         studies.model_selection_analysis(out_dir=args.out_dir_prefix)
         results_mod.data_driven_analysis(args.out_dir_prefix)
     if args.run_data_driven_ablation_study:

@@ -36,14 +36,156 @@ def _score_against_multiview(dir_prefix: str, data_path: str,
     return float(mpe_tbl.mean().iloc[0]), float(mpjpe_tbl.mean().iloc[0])
 
 
+def _pad_gmm(gp, k_max: int):
+    """Pad a GMMPrior to k_max components with -inf-weight dummies so every
+    grid configuration shares one compiled solver shape."""
+    import numpy as _np
+
+    from ..solver import kinematic as kin
+    K = gp.means.shape[0]
+    if K == k_max:
+        return gp
+    pad = k_max - K
+    return kin.GMMPrior(
+        means=_np.concatenate([_np.asarray(gp.means),
+                               _np.zeros((pad, gp.means.shape[1]))]),
+        prec=_np.concatenate([_np.asarray(gp.prec),
+                              _np.tile(_np.eye(gp.prec.shape[1]),
+                                       (pad, 1, 1))]),
+        log_norm=_np.concatenate([_np.asarray(gp.log_norm),
+                                  _np.full((pad,), -1e30)]))
+
+
+def run_grid_search_batched(root_dir: str, dir_prefix: str, test_set: Tuple,
+                            pose_components: Tuple[int, ...] = (3, 5, 8),
+                            windows: Tuple[int, ...] = (2, 4, 6, 10),
+                            lasso_options: Tuple[bool, ...] = (True, False),
+                            cam_overrides: Optional[List[int]] = None,
+                            max_trials: Optional[int] = None,
+                            data_driven_dataset: Optional[str] = None,
+                            dtype=None, mesh=None,
+                            verbose: bool = True) -> pd.DataFrame:
+    """The full GMM-components x AR-window x L1/L2 sweep as ONE vmapped
+    solve: the (config x trial) product is the batch axis ("the sweep axis is
+    just more batch"). GMM priors with different component counts are padded
+    to a common K (log-weight -inf dummies), so a single compiled kinematic
+    solver serves every configuration. Scores each solution against the
+    saved multi-view fte_kinematic positions; writes the same
+    ``grid_search_results.csv`` schema as the serial driver."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import params as params_mod
+    from ..models import skeleton as sk
+    from ..parallel import batch as pbatch
+    from ..priors import armodel, dataset as prior_ds, gmm as gmm_mod
+    from ..solver import kinematic as kin
+    from ..utils import data_ops
+    from . import batched as batched_mod
+    from . import metrics as metrics_mod
+
+    t0 = _time.time()
+    if dtype is None:
+        dtype = jnp.float32
+    trials = test_set[:max_trials] if max_trials else test_set
+    dset = data_driven_dataset or est_mod.DATA_DRIVEN_DATASET
+    configs = [(n, w, l) for n in pose_components for w in windows
+               for l in lasso_options]
+    k_max = max(pose_components)
+
+    # prepare each trial once (measurements + init), grouped by subject
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for idx, (cheetah, date, name) in enumerate(trials):
+        data_path = os.path.join(date, cheetah, name)
+        if not os.path.isdir(os.path.join(root_dir, data_path)):
+            continue
+        cam = cam_overrides[idx] if cam_overrides else None
+        est = batched_mod._prepare(root_dir, data_path, cheetah, cam,
+                                   monocular=True)
+        groups[params_mod.get_subject(cheetah).name].append(
+            (data_path, est))
+
+    rows_acc: Dict[Tuple, Dict[str, List[float]]] = {
+        c: dict(mpe=[], mpjpe=[]) for c in configs}
+    for subject_name, ests in groups.items():
+        subject = params_mod.get_subject(subject_name)
+        datas, q0s, metasets = [], [], []
+        for (n_comp, w, lasso) in configs:
+            gp = _pad_gmm(gmm_mod.to_solver_prior(gmm_mod.fit(
+                prior_ds.load_pose_dataset(dset).iloc[:, 6:28].to_numpy(),
+                n_components=n_comp, seed=42,
+                cache_dir=data_ops.prior_cache_dir(dset))), k_max)
+            mm = armodel.train_motion_model(
+                dset, window_size=w, lasso=lasso,
+                cache_dir=data_ops.prior_cache_dir(dset))
+            for data_path, est in ests:
+                x_init = np.asarray(sk.relative_pose(est.q0))
+                y_pred, valid = armodel.anchor_predictions(mm, x_init)
+                datas.append(est.data._replace(
+                    gmm=gp,
+                    ar=kin.ARAnchor(jnp.asarray(y_pred),
+                                    jnp.asarray(armodel.motion_weights(mm)),
+                                    jnp.asarray(valid))))
+                q0s.append(est.q0)
+                metasets.append(((n_comp, w, lasso), data_path, est))
+        n_frames = int(np.ceil(max(d.meas.shape[0]
+                                   for d in datas) / 16) * 16)
+        batched, q0b = pbatch.pad_and_stack(datas, q0s, n_frames=n_frames,
+                                            dtype=dtype)
+        if mesh is not None:
+            batched = pbatch.shard_batch(batched, mesh)
+            q0b = jax.device_put(q0b)
+        fte = kin.KinematicFTE(
+            kin.KinematicConfig(fisheye=True, robust=True, use_gmm=True,
+                                use_ar=True), subject)
+        state = jax.jit(jax.vmap(fte.make_solver()))(q0b, batched)
+        qs = np.asarray(state.q, np.float64)
+        for i, (cfg_key, data_path, est) in enumerate(metasets):
+            gt_p = os.path.join(dir_prefix, data_path, "fte_kinematic",
+                                "fte.pickle")
+            if not os.path.exists(gt_p):
+                continue
+            gt = dio.load_fte_pickle(gt_p)["positions"]
+            n = min(est.data.meas.shape[0], len(gt))
+            pos = np.asarray(sk.fk_markers(qs[i, :n], subject))
+            mpe_tbl, _, _ = metrics_mod.traj_error(
+                np.asarray(gt)[:n].copy(), pos.copy(), verbose=False)
+            mpjpe_tbl, _, _ = metrics_mod.traj_error(
+                np.asarray(gt)[:n].copy(), pos.copy(), centered=True,
+                verbose=False)
+            rows_acc[cfg_key]["mpe"].append(float(mpe_tbl.mean().iloc[0]))
+            rows_acc[cfg_key]["mpjpe"].append(
+                float(mpjpe_tbl.mean().iloc[0]))
+
+    rows = [dict(n_components=n, window=w, lasso=l,
+                 mpe=np.mean(v["mpe"]) if v["mpe"] else np.nan,
+                 mpjpe=np.mean(v["mpjpe"]) if v["mpjpe"] else np.nan,
+                 n=len(v["mpe"]))
+            for (n, w, l), v in rows_acc.items()]
+    df = pd.DataFrame(rows)
+    os.makedirs(dir_prefix, exist_ok=True)
+    df.to_csv(os.path.join(dir_prefix, "grid_search_results.csv"),
+              index=False)
+    if verbose:
+        print(f"[batched] grid search: {len(configs)} configs x "
+              f"{sum(len(v) for v in groups.values())} trials in "
+              f"{_time.time() - t0:.1f}s")
+    return df
+
+
 def run_grid_search(root_dir: str, dir_prefix: str, test_set: Tuple,
                     pose_components: Tuple[int, ...] = (3, 5, 8),
                     windows: Tuple[int, ...] = (2, 4, 6, 10),
                     lasso_options: Tuple[bool, ...] = (True, False),
                     cam_overrides: Optional[List[int]] = None,
-                    max_trials: Optional[int] = 3) -> pd.DataFrame:
+                    max_trials: Optional[int] = None) -> pd.DataFrame:
     """GMM-components x AR-window x L1/L2 sweep over the data-driven mode
-    (reference run_dataset.py:813-915)."""
+    (reference run_dataset.py:813-915), one serial solve per (config, trial);
+    prefer :func:`run_grid_search_batched` ("the sweep axis is just more
+    batch") unless debugging a single configuration."""
     rows = []
     trials = test_set[:max_trials] if max_trials else test_set
     for n_comp in pose_components:
@@ -86,7 +228,7 @@ def run_grid_search(root_dir: str, dir_prefix: str, test_set: Tuple,
 def run_data_driven_ablation_study(root_dir: str, dir_prefix: str,
                                    test_set: Tuple,
                                    cam_overrides: Optional[List[int]] = None,
-                                   max_trials: Optional[int] = 3
+                                   max_trials: Optional[int] = None
                                    ) -> pd.DataFrame:
     """Pose/motion prior on-off ablation (reference run_dataset.py:635-810)."""
     configs = [("both", False, False), ("no-pose", True, False),
@@ -129,7 +271,7 @@ def run_physics_based_ablation_study(root_dir: str, dir_prefix: str,
                                      test_set: Tuple,
                                      cam_overrides: Optional[List[int]]
                                      = None,
-                                     max_trials: Optional[int] = 3
+                                     max_trials: Optional[int] = None
                                      ) -> pd.DataFrame:
     """Pose-prior on/off ablation over the physics-based mode (reference
     ``run_physics_based_ablation_study``, run_dataset.py:721-810): each

@@ -32,6 +32,9 @@ class LMConfig(NamedTuple):
     # "scan": sequential banded Cholesky over time (lowest FLOPs; the batch
     # axis provides the parallelism). "cr": block cyclic reduction — O(log N)
     # parallel depth for long trials / small batches (SURVEY §5/§7).
+    # "pallas": the fused single-kernel factorize+solve (ops.pallas_banded) —
+    # the whole banded Cholesky runs in one Pallas call with all block state
+    # in VMEM (interpret-mode on non-TPU backends).
     linear_solver: str = "scan"
 
 
@@ -66,8 +69,13 @@ def _scaled_solve(g, H: banded.BlockBanded, lam, diag_floor,
             H.lower[k - 1] * sk[:, :, None] * s[:, None, :])
     eye = jnp.eye(H.diag.shape[-1], dtype=H.diag.dtype)
     Hs = banded.BlockBanded(Hs_diag + lam * eye[None], Hs_lower)
-    solve = banded.cr_solve if linear_solver == "cr" else banded.solve
-    y = solve(Hs, -(g * s))
+    if linear_solver == "pallas":
+        from ..ops import pallas_banded
+        y = pallas_banded.pallas_banded_solve(
+            Hs, -(g * s), interpret=jax.default_backend() != "tpu")
+    else:
+        solve = banded.cr_solve if linear_solver == "cr" else banded.solve
+        y = solve(Hs, -(g * s))
     return y * s
 
 
@@ -192,6 +200,121 @@ def lm_solve_annealed(cost_fn: Callable, normal_fn: Callable,
 
     final, _ = jax.lax.while_loop(cond, body, state)
     return final
+
+
+class BorderedState(NamedTuple):
+    q: jnp.ndarray       # (N, d)
+    tau: jnp.ndarray     # (C,) border unknowns (per-camera shutter delays)
+    cost: jnp.ndarray
+    lam: jnp.ndarray
+    nu: jnp.ndarray
+    it: jnp.ndarray
+    done: jnp.ndarray
+    n_accepted: jnp.ndarray
+
+
+def _bordered_solve(gq, H: banded.BlockBanded, gtau, Bmat, Htt, lam,
+                    diag_floor):
+    """Solve the bordered SPD system
+
+        [[H, B], [B^T, diag(Htt)]] [dq; dtau] = -[gq; gtau]
+
+    by Schur complement on the banded factor: one banded Cholesky, 1 + C
+    right-hand sides, then a CxC dense solve. This is how the per-camera
+    shutter delays join the trajectory as *first-class unknowns* without
+    breaking the banded structure (reference: shutter_delay[C] is a free
+    pyomo Var solved jointly, acinoset_misc.py:180-183).
+
+    Shapes: gq (N, d), B (N, d, C), Htt (C,), gtau (C,).
+    """
+    d = jnp.maximum(jnp.diagonal(H.diag, axis1=-2, axis2=-1), diag_floor)
+    s = jax.lax.rsqrt(d)
+    st = jax.lax.rsqrt(jnp.maximum(Htt, diag_floor))
+    Hs_diag = H.diag * s[:, :, None] * s[:, None, :]
+    B = H.lower.shape[0]
+    N = H.diag.shape[0]
+    Hs_lower = H.lower
+    for k in range(1, B + 1):
+        sk = jnp.zeros_like(s).at[: N - k].set(s[k:])
+        Hs_lower = Hs_lower.at[k - 1].set(
+            H.lower[k - 1] * sk[:, :, None] * s[:, None, :])
+    eye = jnp.eye(H.diag.shape[-1], dtype=H.diag.dtype)
+    Hs = banded.BlockBanded(Hs_diag + lam * eye[None], Hs_lower)
+    Bs = Bmat * s[:, :, None] * st[None, None, :]
+    Htt_s = jnp.ones_like(Htt) + lam        # Htt * st^2 = 1 on the diagonal
+    L = banded.cholesky(Hs)
+    rhs = jnp.concatenate([-(gq * s)[:, :, None], Bs], axis=2)
+    X = jax.vmap(lambda b: banded.solve_factored(L, b),
+                 in_axes=2, out_axes=2)(rhs)
+    y0 = X[..., 0]                           # (N, d)
+    Y = X[..., 1:]                           # (N, d, C)
+    S = jnp.diag(Htt_s) - jnp.einsum("ndc,ndk->ck", Bs, Y)
+    rt = -(gtau * st) - jnp.einsum("ndc,nd->c", Bs, y0)
+    Ls = jnp.linalg.cholesky(S)
+    dts = jax.scipy.linalg.cho_solve((Ls, True), rt)
+    dqs = y0 - jnp.einsum("ndc,c->nd", Y, dts)
+    return dqs * s, dts * st
+
+
+def lm_solve_bordered(cost_fn: Callable, normal_fn: Callable,
+                      q0: jnp.ndarray, tau0: jnp.ndarray,
+                      config: LMConfig = LMConfig()) -> BorderedState:
+    """LM over the bordered state (q, tau).
+
+    ``cost_fn(q, tau)`` scalar; ``normal_fn(q, tau) -> (gq, H, gtau, B,
+    Htt)`` with H block-banded and (B, Htt) the border blocks. Pin a tau
+    entry by giving it a huge Htt value (its step then scales to ~0).
+    """
+    dtype = q0.dtype
+    s0 = BorderedState(
+        q=q0, tau=tau0, cost=cost_fn(q0, tau0),
+        lam=jnp.asarray(config.lam0, dtype), nu=jnp.asarray(2.0, dtype),
+        it=jnp.asarray(0), done=jnp.asarray(False),
+        n_accepted=jnp.asarray(0))
+
+    def step(s: BorderedState) -> BorderedState:
+        gq, H, gtau, Bmat, Htt = normal_fn(s.q, s.tau)
+        dq, dtau = _bordered_solve(gq, H, gtau, Bmat, Htt, s.lam,
+                                   config.diag_floor)
+        qn = s.q + dq
+        taun = s.tau + dtau
+        cn = cost_fn(qn, taun)
+        pred = -(jnp.sum(gq * dq) + jnp.sum(gtau * dtau)
+                 + 0.5 * (jnp.sum(dq * banded.matvec(H, dq))
+                          + 2.0 * jnp.einsum("nd,ndc,c->", dq, Bmat, dtau)
+                          + jnp.sum(Htt * dtau * dtau)))
+        rho = (s.cost - cn) / jnp.maximum(pred, 1e-30)
+        improved = cn < s.cost
+        accept = jnp.logical_and(improved, jnp.logical_not(s.done))
+        shrink = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0)**3)
+        lam_new = jnp.where(
+            accept, jnp.clip(s.lam * shrink, config.lam_min, config.lam_max),
+            jnp.minimum(s.lam * s.nu, config.lam_max))
+        nu_new = jnp.where(accept, jnp.asarray(2.0, s.nu.dtype),
+                           jnp.minimum(s.nu * 2.0, 1e8))
+        ftol_eff = jnp.maximum(jnp.asarray(config.ftol, s.cost.dtype),
+                               8.0 * jnp.finfo(s.cost.dtype).eps)
+        rel_drop = (s.cost - cn) / jnp.maximum(jnp.abs(s.cost), 1e-30)
+        converged = jnp.logical_and(accept, rel_drop < ftol_eff)
+        tiny_pred = pred <= ftol_eff * jnp.maximum(jnp.abs(s.cost), 1e-30)
+        converged = jnp.logical_or(
+            converged,
+            jnp.logical_and(jnp.logical_not(improved), tiny_pred))
+        stalled = s.lam >= config.lam_max
+        return BorderedState(
+            q=jnp.where(accept, qn, s.q),
+            tau=jnp.where(accept, taun, s.tau),
+            cost=jnp.where(accept, cn, s.cost),
+            lam=jnp.where(s.done, s.lam, lam_new), nu=nu_new, it=s.it + 1,
+            done=jnp.logical_or(s.done,
+                                jnp.logical_or(converged, stalled)),
+            n_accepted=s.n_accepted + accept.astype(jnp.int32))
+
+    def cond(s: BorderedState):
+        return jnp.logical_and(s.it < config.max_iters,
+                               jnp.logical_not(s.done))
+
+    return jax.lax.while_loop(cond, step, s0)
 
 
 def lm_solve_scan(cost_fn: Callable, normal_fn: Callable, q0: jnp.ndarray,

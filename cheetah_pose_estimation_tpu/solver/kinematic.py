@@ -507,6 +507,99 @@ class KinematicFTE:
         H = banded.BlockBanded(diag=Hdiag, lower=H_acc.lower)
         return g, H
 
+    # -- joint shutter-delay solve (bordered system) ------------------------
+    def _border_terms(self, q: jnp.ndarray, tau: jnp.ndarray,
+                      data: KinematicData):
+        """GN border blocks for the per-camera shutter delays as unknowns.
+
+        Residual r = proj(pts + tau_c*vel + tau_c^2*acc) - meas, so
+        dr/dtau_c = Juv @ (vel + 2 tau_c acc). Returns (gtau (C,),
+        B (N, 54, C), Htt (C,)) accumulated over frames with the same
+        robust-loss GN weights as the q-block."""
+        cfg = self.config
+        proj = camera.project_fisheye if cfg.fisheye else \
+            camera.project_pinhole
+        N = q.shape[0]
+        w_all = self._meas_weights(data)
+        vel, acc = self._base_derivatives(q, data.h)
+        shift = (vel[:, None, :] * tau[None, :, None]
+                 + acc[:, None, :] * (tau ** 2)[None, :, None])
+
+        def frame(q_t, meas_t, w_t, shift_t, vel_t, acc_t):
+            pts, Jm = sk.fk_markers_and_jacobian(q_t, self.subject)
+            uv = self._project(pts, data.cam, shift_t)
+            Juv = jax.vmap(lambda K, D, R, t, sft: jax.vmap(
+                jax.jacfwd(lambda p: proj(p, K, D, R, t)))(
+                    pts + sft[None, :]))(
+                data.cam.K, data.cam.D, data.cam.R, data.cam.t, shift_t)
+            res = uv[..., None] - meas_t
+            w = jnp.broadcast_to(w_t, res.shape)
+            if cfg.robust:
+                gw, hw = losses.gauss_newton_weights(
+                    res, w, losses.redescending, cfg.curvature_floor,
+                    loss_params=(3.0, 10.0, 20.0))
+            else:
+                gw = 2.0 * w * w * res
+                hw = 2.0 * w * w * jnp.ones_like(res)
+            svec = vel_t[None, :] + 2.0 * tau[:, None] * acc_t[None, :]
+            Jtau = jnp.einsum("cmdi,ci->cmd", Juv, svec)
+            J = jnp.einsum("cmdi,mik->cmdk", Juv, Jm)
+            hsum = jnp.sum(hw, axis=-1)                       # (C, 24, 2)
+            gtau_t = jnp.einsum("cmdw,cmd->c", gw, Jtau)
+            Htt_t = jnp.einsum("cmd,cmd,cmd->c", hsum, Jtau, Jtau)
+            B_t = jnp.einsum("cmd,cmdk,cmd->kc", hsum, J, Jtau)
+            return gtau_t, Htt_t, B_t
+
+        gtau_f, Htt_f, B = jax.vmap(frame)(q, data.meas, w_all, shift,
+                                           vel, acc)
+        return jnp.sum(gtau_f, axis=0), B, jnp.sum(Htt_f, axis=0)
+
+    def make_joint_shutter_solver(self, max_iters: int = 60,
+                                  ftol: float = 1e-9, lam0: float = 1e-2,
+                                  bound_weight: float = 1e8):
+        """Jitted joint (q, tau) solve: per-camera shutter delays are solver
+        unknowns coupled to the trajectory through the bordered banded system
+        (replacing round 1's 41-point host grid scans). Camera 0 is pinned to
+        tau = 0; |tau| <= h is enforced by a quadratic hinge (the reference
+        bounds the pyomo Var to (-h, h), acinoset_misc.py:183). Config must
+        have ``live_shutter=True`` so the q-gradient carries the exact
+        chain rule through the shift."""
+        from . import gn as gn_mod
+        key = ("joint_shutter", max_iters, ftol, lam0, bound_weight)
+        if key in self._solve_cache:
+            return self._solve_cache[key]
+
+        def run(q0: jnp.ndarray, tau0: jnp.ndarray, data: KinematicData
+                ) -> gn_mod.BorderedState:
+            h = data.h
+
+            def cost_fn(q, tau):
+                d2 = data._replace(sd_tau=tau)
+                viol = jnp.maximum(jnp.abs(tau) - h, 0.0)
+                return self._cost_impl(q, d2) \
+                    + bound_weight * jnp.sum(viol * viol)
+
+            def normal_fn(q, tau):
+                d2 = data._replace(sd_tau=tau)
+                g, H = self._normal(q, d2)
+                gtau, B, Htt = self._border_terms(q, tau, d2)
+                viol = jnp.maximum(jnp.abs(tau) - h, 0.0)
+                gtau = gtau + 2.0 * bound_weight * viol * jnp.sign(tau)
+                Htt = Htt + 2.0 * bound_weight * (viol > 0).astype(tau.dtype)
+                # pin camera 0 (reference convention: delays are relative)
+                Htt = Htt.at[0].add(1e12)
+                return g, H, gtau, B, Htt
+
+            with jax.default_matmul_precision("highest"):
+                return gn_mod.lm_solve_bordered(
+                    cost_fn, normal_fn, q0, tau0,
+                    gn_mod.LMConfig(max_iters=max_iters, ftol=ftol,
+                                    lam0=lam0))
+
+        run_jit = jax.jit(run)
+        self._solve_cache[key] = run_jit
+        return run_jit
+
     # -- annealed solve ------------------------------------------------------
     def make_solver(self,
                     stages: Tuple[Tuple[float, int], ...] = (

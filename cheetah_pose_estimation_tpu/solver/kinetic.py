@@ -79,6 +79,16 @@ class KineticConfig:
     foot_height_penalty: float = 1e4
     foot_height_bound: float = 0.1   # 0.03 kinetic dataset
     friction_coeff: float = 0.8
+    # prescribed-stance GRFz floor in body-weight units (reference
+    # prescribe_contact_order min_GRFz, acinoset_misc.py:1143): a foot in a
+    # prescribed stance window must carry at least this much load
+    min_grf_z: float = 0.01
+    # epsilon-relaxed linear complementarity GRFz * foot_height <= eps
+    # (reference Foot3D.enable_lcp(bool, eps), acinoset_opt.py:505 — the
+    # engine capability the estimator optionally re-enables)
+    enable_lcp: bool = False
+    lcp_eps: float = 1e-3
+    lcp_penalty: float = 1e4
     cam_multipliers: Tuple[float, ...] = ()
     # reference estimate_kinetics(use_2d_reprojections=False): replace the
     # reprojection term with a weighted 3D tracking cost against the
@@ -133,12 +143,13 @@ class KineticFTE:
         cols_xy = jnp.einsum("fik,di->kfd", Jf, D).reshape(NQ, 16)
         return jnp.concatenate([cols_z, cols_xy], axis=1)
 
-    def _frame_eom_terms(self, q3: jnp.ndarray, data: KineticData,
-                         stance_t, grf_z_fix, grf_xy_fix,
-                         tau_anchor_t=None):
-        """EOM slack for one frame given (q[t-2], q[t-1], q[t]) stacked (3,54).
+    def _frame_system(self, q3: jnp.ndarray, data: KineticData,
+                      stance_t, grf_z_fix, grf_xy_fix):
+        """Shared per-frame elimination system for (q[t-2], q[t-1], q[t]).
 
-        Returns (slack (54,), tau (22,), grf_z (4,), grf_xy (4,4)).
+        Returns (M, lhs_eff, A, Cg, gmask, sc, L) with L the Cholesky factor
+        of the Jacobi-equilibrated reduced normal matrix
+        ``we A^T A + diag(wreg)``.
         """
         cfg = self.config
         h = data.base.h
@@ -168,9 +179,6 @@ class KineticFTE:
             jnp.full((20,), 1e-3, dtype)])  # tiny ridge on free GRF
         # minimize we|lhs_eff - A z|^2 + z^T diag(wreg) z + wa|tau - anchor|^2
         AtA = we * (A.T @ A) + jnp.diag(wreg)
-        rhs = we * (A.T @ lhs_eff)
-        if tau_anchor_t is not None:
-            rhs = rhs.at[:dyn.N_TAU].add(wa * tau_anchor_t)
         # SPD system: Cholesky (the axon TPU backend lacks f64 LU), with
         # symmetric Jacobi equilibration — raw diagonals span we*|A_col|^2
         # (~1e5) down to the 1e-3 GRF ridge of masked columns, which breaks
@@ -185,11 +193,31 @@ class KineticFTE:
         As = AtA * sc[:, None] * sc[None, :] \
             + bump * jnp.eye(AtA.shape[0], dtype=dtype)
         L = jnp.linalg.cholesky(As)
+        return M, lhs_eff, A, Cg, gmask, sc, L
+
+    def _frame_eom_terms(self, q3: jnp.ndarray, data: KineticData,
+                         stance_t, grf_z_fix, grf_xy_fix,
+                         tau_anchor_t=None):
+        """EOM slack for one frame given (q[t-2], q[t-1], q[t]) stacked (3,54).
+
+        Returns (slack (54,), tau (22,), grf_z (4,), grf_xy (4,4)).
+        """
+        cfg = self.config
+        M, lhs_eff, A, Cg, gmask, sc, L = self._frame_system(
+            q3, data, stance_t, grf_z_fix, grf_xy_fix)
+        gmask_z = stance_t
+        use_free_grf = (1.0 - data.use_fixed_grf)
+        we = cfg.eom_weight
+        wa = data.tau_anchor_weight
+        rhs = we * (A.T @ lhs_eff)
+        if tau_anchor_t is not None:
+            rhs = rhs.at[:dyn.N_TAU].add(wa * tau_anchor_t)
         z = sc * jax.scipy.linalg.cho_solve((L, True), sc * rhs)
         tau = z[:dyn.N_TAU]
         g = z[dyn.N_TAU:]
-        # projection: GRF nonnegative, friction polyhedron
-        gz = jnp.maximum(g[:4], 0.0) * gmask_z * use_free_grf
+        # projection: GRF nonnegative (with the prescribed-stance floor,
+        # reference min_GRFz), friction polyhedron
+        gz = jnp.maximum(g[:4], cfg.min_grf_z) * gmask_z * use_free_grf
         gxy = jnp.maximum(g[4:].reshape(4, 4), 0.0) \
             * stance_t[:, None] * use_free_grf
         cone = cfg.friction_coeff * gz / jnp.maximum(gxy.sum(axis=1), 1e-9)
@@ -200,6 +228,29 @@ class KineticFTE:
             tau, jnp.concatenate([gz, gxy.reshape(16)]) ])
         slack = lhs_eff - A @ zproj
         return slack, tau, gz_out, gxy_out
+
+    def _frame_eom_curv(self, q3: jnp.ndarray, data: KineticData,
+                        stance_t, grf_z_fix, grf_xy_fix) -> jnp.ndarray:
+        """Reduced GN curvature kernel (54, 54) of the eliminated EOM term.
+
+        The per-frame elimination of (tau, grf) makes the effective residual
+        sqrt(we) * P (lhs(q) - const) with P = I - we A K A^T the oblique
+        projector onto the torque/GRF-unexplainable subspace (K the inverse
+        reduced normal matrix). Using the full M^T M here (round-1 bug) says
+        the EOM resists motion in *actuated* directions it does not actually
+        resist — overestimating curvature by ~we/ridge in ~34/54 directions
+        and freezing the optimizer on its warm start. The correct kernel is
+        (M/fs)^T P (M/fs), which the ddq stencil then spreads over frame
+        pairs (see _eom_curvature)."""
+        M, _, A, _, _, sc, L = self._frame_system(
+            q3, data, stance_t, grf_z_fix, grf_xy_fix)
+        we = self.config.eom_weight
+        Asc = A * sc[None, :]
+        X = jax.scipy.linalg.cho_solve((L, True), Asc.T)      # (42, 54)
+        P = jnp.eye(NQ, dtype=q3.dtype) - we * (Asc @ X)
+        Mfs = M / self.force_scale
+        MPM = Mfs.T @ (P @ Mfs)
+        return 0.5 * (MPM + MPM.T)
 
     def _q3_stack(self, q: jnp.ndarray) -> jnp.ndarray:
         """(N, 3, 54): frames (t-2, t-1, t) with edge replication."""
@@ -235,6 +286,16 @@ class KineticFTE:
             valid[:, None] * tau * tau)
         anchor_cost = data.tau_anchor_weight * jnp.sum(
             valid[:, None] * (tau - anchor)**2)
+        if cfg.enable_lcp:
+            # epsilon-relaxed complementarity: a loaded foot must touch the
+            # ground (GRFz * foot_height <= eps), gradient flowing through
+            # both the eliminated force and the foot kinematics
+            pts = jax.vmap(
+                lambda qq: dyn.foot_points(qq, self.subject))(q)
+            hpos = jnp.maximum(pts[..., 2], 0.0)
+            viol = jnp.maximum(gz * hpos - cfg.lcp_eps, 0.0)
+            torque_cost = torque_cost + cfg.lcp_penalty * jnp.sum(
+                data.base.frame_valid[:, None] * viol * viol)
         return eom_cost, torque_cost + anchor_cost, (slack, tau, gz, gxy)
 
     def _smooth_cost(self, q: jnp.ndarray, data: KineticData) -> jnp.ndarray:
@@ -267,11 +328,92 @@ class KineticFTE:
         height_pen = cfg.foot_height_penalty * jnp.sum(
             (fv[:, None] * data.stance) * hviol * hviol)
         vel_xy = (pts[1:, :, :2] - pts[:-1, :, :2]) / h
-        speed2 = jnp.sum(vel_xy * vel_xy, axis=-1)              # (N-1, 4)
-        sviol = jnp.maximum(speed2 - 1.0, 0.0)
+        # hinge on the *speed* (not speed^2): the quartic (v^2-1)^2 form
+        # explodes to ~1e9 on monocular warm starts whose depth wobble makes
+        # feet apparently move at 10 m/s, and its steepness then owns the
+        # whole solve; the quadratic speed hinge matches the reference's
+        # hard bound gamma <= 1 (acinoset_opt.py:803-809) with sane scaling
+        speed = jnp.sqrt(jnp.sum(vel_xy * vel_xy, axis=-1) + 1e-12)
+        sviol = jnp.maximum(speed - 1.0, 0.0)
         slip_pen = cfg.no_slip_penalty * jnp.sum(
             (fv[1:, None] * data.stance[1:]) * sviol * sviol)
         return height_pen + slip_pen
+
+    def _penalty_curvature(self, q: jnp.ndarray, data: KineticData):
+        """GN curvature of the stance penalties via the closed-form foot
+        Jacobians. Returns (Hdiag_add (N,54,54), Hl1_add (N,54,54): the
+        (t, t-1) band-1 blocks from the slip term's finite difference)."""
+        cfg = self.config
+        dtype = q.dtype
+        N = q.shape[0]
+        h = data.base.h
+        fv = data.base.frame_valid
+        C_all = jnp.asarray(sk.bottom_coefficients(self.subject), dtype)
+        idx = [sk.LINK_INDEX[n] for n in dyn.FEET_LINKS]
+        C_feet = C_all[:, idx, :]
+        pts, Jf = jax.vmap(
+            lambda qt: sk.points_and_jacobian_from_coeffs(qt, C_feet))(q)
+        # foot-height box: cost = w_h sum relu(|z| - hb)^2; GN = 2 w_h Jz^T Jz
+        hviol = jnp.maximum(jnp.abs(pts[..., 2]) - cfg.foot_height_bound, 0.0)
+        act_h = (hviol > 0).astype(dtype) * data.stance * fv[:, None]
+        Jz = Jf[:, :, 2, :]                                     # (N, 4, 54)
+        Hd = 2.0 * cfg.foot_height_penalty * jnp.einsum(
+            "tf,tfk,tfl->tkl", act_h, Jz, Jz)
+        # no-slip: cost = w_s sum relu(|v| - 1)^2, v = (p_t - p_{t-1})_xy/h.
+        # GN on r = relu(|v| - 1): J_r = vhat^T J_v with
+        # J_v(t) = J_xy(t)/h, J_v(t-1) = -J_xy(t-1)/h.
+        vel = (pts[1:, :, :2] - pts[:-1, :, :2]) / h            # (N-1, 4, 2)
+        speed = jnp.sqrt(jnp.sum(vel * vel, axis=-1) + 1e-12)
+        sviol = jnp.maximum(speed - 1.0, 0.0)
+        act_s = (sviol > 0).astype(dtype) * data.stance[1:] * fv[1:, None]
+        vhat = vel / speed[..., None]
+        u_t = 1.0 / h * jnp.einsum("tfd,tfdk->tfk", vhat,
+                                   Jf[1:, :, :2, :])            # (N-1, 4, 54)
+        u_p = 1.0 / h * jnp.einsum("tfd,tfdk->tfk", vhat,
+                                   Jf[:-1, :, :2, :])
+        ws2 = 2.0 * cfg.no_slip_penalty
+        Hd = Hd.at[1:].add(ws2 * jnp.einsum("tf,tfk,tfl->tkl", act_s,
+                                            u_t, u_t))
+        Hd = Hd.at[:-1].add(ws2 * jnp.einsum("tf,tfk,tfl->tkl", act_s,
+                                             u_p, u_p))
+        # lower band-1 block H[t, t-1] += -w u_t u_p^T, stored at column t-1
+        Hl1 = jnp.zeros((N, NQ, NQ), dtype)
+        Hl1 = Hl1.at[:-1].add(-ws2 * jnp.einsum("tf,tfk,tfl->tkl", act_s,
+                                                u_t, u_p))
+        return Hd, Hl1
+
+    def _smooth_curvature(self, q: jnp.ndarray, data: KineticData):
+        """GN curvature of the marker-acceleration smoothing energy: the
+        (1,-2,1) stencil spread of S_t = sum_m Jm^T Jm (same structure as the
+        EOM channel; Jm varies slowly so the later-frame S approximates the
+        cross products)."""
+        cfg = self.config
+        dtype = q.dtype
+        N = q.shape[0]
+        h = data.base.h
+        fv = data.base.frame_valid
+        _, Jm = jax.vmap(
+            lambda qt: sk.fk_markers_and_jacobian(qt, self.subject))(q)
+        S = jnp.einsum("tmik,tmil->tkl", Jm, Jm)                # (N, 54, 54)
+        valid = jnp.zeros(N, dtype)
+        if N > 2:
+            valid = valid.at[2:].set(fv[2:] * fv[1:-1] * fv[:-2])
+        fps2 = 1.0 / (h * h)
+        S = S * (2.0 * cfg.smooth_weight_scale * fps2) * valid[:, None, None]
+        c = jnp.asarray([1.0, -2.0, 1.0], dtype)
+        Hd = jnp.zeros((N, NQ, NQ), dtype)
+        Hl = [jnp.zeros((N, NQ, NQ), dtype) for _ in range(2)]
+        for a in range(3):
+            for b in range(a, 3):
+                k = b - a
+                seg = jnp.zeros((N, NQ, NQ), dtype)
+                if N - b > 0:
+                    seg = seg.at[: N - b].set(S[b:])
+                if k == 0:
+                    Hd = Hd + c[a] * c[b] * seg
+                else:
+                    Hl[k - 1] = Hl[k - 1] + c[a] * c[b] * seg
+        return Hd, Hl[0], Hl[1]
 
     def _track_cost(self, q: jnp.ndarray, data: KineticData) -> jnp.ndarray:
         """Weighted 3D tracking of the kinematic warm start over relative
@@ -318,16 +460,19 @@ class KineticFTE:
     def _eom_curvature(self, q: jnp.ndarray, data: KineticData,
                        Hdiag: jnp.ndarray, Hlower: jnp.ndarray):
         """Add the EOM term's generalized-GN curvature (dominant 1/h^2
-        channel): H ~ sum_t we (c_a c_b / h^4) M_t^T M_t between frames
-        (t-a, t-b), with c the ddq stencil (q_t, q_{t-1}, q_{t-2})."""
+        channel): H ~ sum_t we (c_a c_b / h^4) M_t^T P_t M_t between frames
+        (t-a, t-b), with c the ddq stencil (q_t, q_{t-1}, q_{t-2}) and P_t
+        the per-frame elimination projector (see _frame_eom_curv)."""
         cfg = self.config
         dtype = q.dtype
         N = q.shape[0]
         h = data.base.h
         valid = self._eom_valid(data)
-        M_all = jax.vmap(
-            lambda qt: dyn.mass_matrix(qt, self.subject))(q) / self.force_scale
-        MtM = jnp.einsum("tij,tik->tjk", M_all, M_all) \
+        q3 = self._q3_stack(q)
+        MtM = jax.vmap(
+            lambda q3t, st, gf, gxf: self._frame_eom_curv(
+                q3t, data, st, gf, gxf))(
+            q3, data.stance, data.grf_fixed, data.grf_xy_fixed) \
             * (2.0 * cfg.eom_weight / h**4) * valid[:, None, None]
         c = jnp.asarray([1.0, -2.0, 1.0], dtype)
         # residual at frame r uses q[r-a] with coefficient c[a]
@@ -366,18 +511,23 @@ class KineticFTE:
             return e + t
 
         g = g + jax.grad(phys)(q)
-        g = g + jax.grad(lambda qq: self._smooth_cost(qq, data))(q)
+        if cfg.use_2d_reprojections:
+            g = g + jax.grad(lambda qq: self._smooth_cost(qq, data))(q)
         g = g + jax.grad(lambda qq: self._stance_penalties(qq, data))(q)
 
-        h = data.base.h
         Hdiag, Hlower = self._eom_curvature(q, data, Hdiag, Hlower)
 
-        # smoothing + stance penalties: cheap diagonal GN via marker Jacobian
-        # magnitude — approximate with a scaled identity; LM damping handles
-        # the remainder (their gradients above are exact).
-        fps = 1.0 / h
-        smooth_diag = 6.0 * cfg.smooth_weight_scale * (fps ** 2)
-        Hdiag = Hdiag + smooth_diag * jnp.eye(NQ, dtype=dtype)[None]
+        # stance penalties: exact GN blocks (round 1 supplied only gradients,
+        # so multi-1e9 penalty values produced wild steps the LM loop spent
+        # its whole budget damping — the "inert physics stage")
+        Hp_d, Hp_l1 = self._penalty_curvature(q, data)
+        Hdiag = Hdiag + Hp_d
+        Hlower = Hlower.at[0].add(Hp_l1)
+        if self.config.use_2d_reprojections:
+            Hs_d, Hs_l1, Hs_l2 = self._smooth_curvature(q, data)
+            Hdiag = Hdiag + Hs_d
+            Hlower = Hlower.at[0].add(Hs_l1)
+            Hlower = Hlower.at[1].add(Hs_l2)
 
         if not cfg.use_2d_reprojections:
             from ..models import noise as noise_tables
@@ -391,8 +541,8 @@ class KineticFTE:
         return g, banded.BlockBanded(diag=Hdiag, lower=Hlower)
 
     # ------------------------------------------------------------------
-    def make_solver(self, stages=((3.0, 20), (1.0, 80)), ftol: float = 1e-9,
-                    lam0: float = 1e-2, linear_solver: str = "scan",
+    def make_solver(self, stages=((3.0, 30), (1.0, 170)), ftol: float = 1e-9,
+                    lam0: float = 10.0, linear_solver: str = "scan",
                     driver: str = "while"):
         from . import gn as gn_mod
         key = (stages, ftol, lam0, linear_solver, driver)
@@ -431,4 +581,35 @@ def stance_matrix(contacts: dict, start_frame: int, n_frames: int
             s = max(seq[0] - start_frame, 0)
             e = min(seq[1] - start_frame + 1, n_frames)
             out[s:e, i] = 1.0
+    return out
+
+
+def prune_stance(stance: np.ndarray, q_warm: np.ndarray,
+                 subject: SubjectParams, h: float,
+                 max_median_speed: float = 4.0) -> np.ndarray:
+    """Drop physically impossible stance windows.
+
+    The heuristic detector (contact_detection) occasionally emits a window
+    where the warm-start foot is travelling at gallop speed (e.g. a
+    zero-crossing artifact at the trial boundary); prescribing no-slip there
+    injects multi-1e5 penalties *at the true solution* and drags the physics
+    stage away from it. A window whose median warm-start foot xy-speed
+    exceeds ``max_median_speed`` (m/s; true stance is < 1) is removed.
+    """
+    import jax as _jax
+    pts = np.asarray(_jax.vmap(
+        lambda qq: dyn.foot_points(jnp.asarray(qq), subject))(
+        jnp.asarray(q_warm)))
+    v = np.zeros(pts.shape[:2])
+    v[1:] = np.linalg.norm((pts[1:, :, :2] - pts[:-1, :, :2]) / h, axis=-1)
+    v[0] = v[1] if len(v) > 1 else 0.0
+    out = stance.copy()
+    for f in range(stance.shape[1]):
+        on = np.flatnonzero(stance[:, f] > 0)
+        if on.size == 0:
+            continue
+        splits = np.split(on, np.flatnonzero(np.diff(on) > 1) + 1)
+        for run in splits:
+            if np.median(v[run, f]) > max_median_speed:
+                out[run, f] = 0.0
     return out

@@ -1,0 +1,85 @@
+"""Mesh-sharded batched solve must match the single-device solve.
+
+The 1-D trial mesh is pure data parallelism (SURVEY §2.13): each trial's
+block-banded system is device-local, so sharding must be a layout decision
+only — identical numerics to running the same vmapped solve on one device.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from cheetah_pose_estimation_tpu.data import synthetic as syn
+from cheetah_pose_estimation_tpu.models import params as params_mod
+from cheetah_pose_estimation_tpu.parallel import batch as pbatch
+from cheetah_pose_estimation_tpu.pipeline import bench_lib
+from cheetah_pose_estimation_tpu.solver import kinematic as kin
+from cheetah_pose_estimation_tpu.solver import kinetic as kn
+
+pytestmark = pytest.mark.slow
+
+N_DEV = 8
+
+
+@pytest.fixture(scope="module")
+def problems():
+    datas, q0s = [], []
+    for i in range(N_DEV):
+        q_gt = syn.gallop_trajectory(n_frames=20 + (i % 3), seed=i)
+        d, q0, _ = bench_lib.build_monocular_problem(
+            q_gt, "acinoset", 120.0, seed=i, n_cams=2, cam_idx=1)
+        datas.append(d)
+        q0s.append(q0)
+    return pbatch.pad_and_stack(datas, q0s, n_frames=24, dtype=jnp.float32)
+
+
+def test_kinematic_sharded_equals_single(problems):
+    assert len(jax.devices()) >= N_DEV
+    batched, q0b = problems
+    subject = params_mod.get_subject("acinoset")
+    fte = kin.KinematicFTE(kin.KinematicConfig(), subject)
+    run = fte.make_solver(stages=((10.0, 3), (1.0, 5)))
+    vrun = jax.jit(jax.vmap(run))
+
+    single = vrun(jax.device_put(q0b, jax.devices()[0]),
+                  jax.tree.map(lambda x: jax.device_put(
+                      x, jax.devices()[0]), batched))
+    mesh = pbatch.trial_mesh(N_DEV)
+    sharded_data = pbatch.shard_batch(batched, mesh)
+    q0s = jax.device_put(q0b, NamedSharding(
+        mesh, P(pbatch.TRIAL_AXIS, None, None)))
+    sharded = vrun(q0s, sharded_data)
+    assert len(set(sharded.q.sharding.device_set)) == N_DEV
+    np.testing.assert_allclose(np.asarray(sharded.q),
+                               np.asarray(single.q), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sharded.cost),
+                               np.asarray(single.cost), rtol=1e-5)
+
+
+def test_kinetic_sharded_equals_single(problems):
+    batched, q0b = problems
+    subject = params_mod.get_subject("acinoset")
+    B, N = q0b.shape[0], q0b.shape[1]
+    stance = np.zeros((B, N, 4), np.float32)
+    stance[:, N // 3: 2 * N // 3, :] = 1.0
+    kbat = kn.KineticData(
+        base=batched, stance=jnp.asarray(stance),
+        grf_fixed=jnp.zeros((B, N, 4), jnp.float32),
+        grf_xy_fixed=jnp.zeros((B, N, 4, 4), jnp.float32),
+        use_fixed_grf=jnp.zeros((B,), jnp.float32),
+        q_warm=q0b,
+        tau_anchor=jnp.zeros((B, 1, 22), jnp.float32),
+        tau_anchor_weight=jnp.zeros((B,), jnp.float32))
+    fte = kn.KineticFTE(kn.KineticConfig(use_gmm=False), subject)
+    run = fte.make_solver(stages=((1.0, 4),))
+    vrun = jax.jit(jax.vmap(run))
+
+    single = vrun(q0b, kbat)
+    mesh = pbatch.trial_mesh(N_DEV)
+    sharded_data = pbatch.shard_batch(kbat, mesh)
+    q0s = jax.device_put(q0b, NamedSharding(
+        mesh, P(pbatch.TRIAL_AXIS, None, None)))
+    sharded = vrun(q0s, sharded_data)
+    np.testing.assert_allclose(np.asarray(sharded.q),
+                               np.asarray(single.q), atol=1e-4)
