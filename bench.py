@@ -29,7 +29,71 @@ BASELINE_DEFAULT_S = 20.9
 BASELINE_PHYSICS_S = 725.6
 
 
+def linsolve_bench(out_path="docs/artifacts/linsolve_bench.json"):
+    """Compare the three banded linear solvers (scan / cyclic reduction /
+    fused Pallas kernel) on production-shape damped normal systems
+    (B=10 trials x N=64 frames x 54-dim blocks, f32), as solved inside every
+    LM iteration. Writes a JSON artifact and prints per-method ms."""
+    from cheetah_pose_estimation_tpu.models import params as P
+    from cheetah_pose_estimation_tpu.parallel import batch as pbatch
+    from cheetah_pose_estimation_tpu.pipeline import bench_lib
+    from cheetah_pose_estimation_tpu.solver import gn
+    from cheetah_pose_estimation_tpu.solver import kinematic as kin
+
+    subject = P.get_subject("acinoset")
+    batched, q0b, _, _ = bench_lib.build_batch(max_trials=10, n_frames=64)
+    fte = kin.KinematicFTE(kin.KinematicConfig(), subject)
+
+    @jax.jit
+    def normals(qb, datab):
+        return jax.vmap(lambda q, d: fte._normal(q, d, 1.0))(qb, datab)
+
+    g, H = normals(q0b, batched)
+    jax.block_until_ready((g, H))
+    lam = jnp.asarray(1e-2, q0b.dtype)
+    out = {}
+    for method in ("scan", "cr", "pallas"):
+        solve = jax.jit(jax.vmap(
+            lambda gg, Hd, Hl: gn._scaled_solve(
+                gg, type(H)(Hd, Hl), lam, 1e-8, method)))
+        try:
+            dq = solve(g, H.diag, H.lower)
+            dq.block_until_ready()
+            reps = 10
+            t0 = time.time()
+            for _ in range(reps):
+                dq = solve(g, H.diag, H.lower)
+            dq.block_until_ready()
+            ms = (time.time() - t0) / reps * 1e3
+            # correctness vs the scan reference
+            if method == "scan":
+                ref = np.asarray(dq)
+                err = 0.0
+            else:
+                err = float(np.max(np.abs(np.asarray(dq) - ref))
+                            / max(np.max(np.abs(ref)), 1e-30))
+            out[method] = {"ms": round(ms, 2), "rel_err_vs_scan": err}
+            print(f"# linsolve {method}: {ms:.2f} ms  rel_err={err:.2e}",
+                  file=sys.stderr)
+        except Exception as e:
+            out[method] = {"error": repr(e)[:200]}
+            print(f"# linsolve {method}: FAILED {e!r}", file=sys.stderr)
+    import os
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w", encoding="utf-8") as f:
+        json.dump({"shape": {"B": 10, "N": 64, "d": 54},
+                   "device": jax.devices()[0].platform,
+                   "results": out}, f, indent=1)
+    print(json.dumps({"metric": "banded_solve_batched",
+                      "value": min(v["ms"] for v in out.values()
+                                   if "ms" in v),
+                      "unit": "ms", "vs_baseline": 0}))
+
+
 def main():
+    if "--linsolve" in sys.argv:
+        linsolve_bench()
+        return
     from cheetah_pose_estimation_tpu.models import skeleton as sk
     from cheetah_pose_estimation_tpu.parallel import batch as pbatch
     from cheetah_pose_estimation_tpu.pipeline import bench_lib

@@ -88,27 +88,22 @@ def run_monocular_batched(root_dir: str, dir_prefix: str,
             subject = params_mod.get_subject(subject_name)
             use_priors = mode == "data-driven"
             datas, q0s, mms = [], [], []
+            gp = None
+            mm = None
+            if use_priors:
+                dset = data_driven_dataset or est_mod.DATA_DRIVEN_DATASET
+                df = prior_ds.load_pose_dataset(dset)
+                gp = gmm_mod.to_solver_prior(gmm_mod.fit(
+                    df.iloc[:, 6:28].to_numpy(), n_components=5,
+                    seed=42, cache_dir=data_ops.prior_cache_dir(dset)))
+                mm = armodel.train_motion_model(
+                    dset, window_size=4, lasso=True,
+                    cache_dir=data_ops.prior_cache_dir(dset))
             for est in ests:
                 data = est.data
                 if use_priors:
-                    dset = (data_driven_dataset
-                            or est_mod.DATA_DRIVEN_DATASET)
-                    df = prior_ds.load_pose_dataset(dset)
-                    gp = gmm_mod.to_solver_prior(gmm_mod.fit(
-                        df.iloc[:, 6:28].to_numpy(), n_components=5,
-                        seed=42, cache_dir=data_ops.prior_cache_dir(dset)))
-                    mm = armodel.train_motion_model(
-                        dset, window_size=4, lasso=True,
-                        cache_dir=data_ops.prior_cache_dir(dset))
                     mms.append(mm)
-                    x_init = np.asarray(sk.relative_pose(est.q0))
-                    y_pred, valid = armodel.anchor_predictions(mm, x_init)
-                    data = data._replace(
-                        gmm=gp,
-                        ar=kin.ARAnchor(jnp.asarray(y_pred),
-                                        jnp.asarray(
-                                            armodel.motion_weights(mm)),
-                                        jnp.asarray(valid)))
+                    data = data._replace(gmm=gp)
                 datas.append(data)
                 q0s.append(est.q0)
             n_frames = int(np.ceil(max(d.meas.shape[0]
@@ -119,6 +114,30 @@ def run_monocular_batched(root_dir: str, dir_prefix: str,
             if mesh is not None:
                 batched = pbatch.shard_batch(batched, mesh)
                 q0b = jax.device_put(q0b)
+            if use_priors:
+                # bootstrap the AR anchors from one prior-free vmapped
+                # solve + empirical-Bayes weight shrinkage (see
+                # estimator.estimate_kinematics — init-anchored AR degrades
+                # MPJPE under correlated DLC corruption)
+                boot = kin.KinematicFTE(
+                    kin.KinematicConfig(fisheye=True, robust=True), subject)
+                qb = jax.jit(jax.vmap(boot.make_solver()))(q0b, batched).q
+                qb_np = np.asarray(qb, np.float64)
+                ypreds, ws, valids = [], [], []
+                fv = np.asarray(batched.frame_valid)
+                for i in range(len(ests)):
+                    x_boot = np.asarray(sk.relative_pose(qb_np[i]))
+                    yp, vl = armodel.anchor_predictions(mms[i], x_boot)
+                    vl = vl * fv[i]
+                    ws.append(armodel.adaptive_motion_weights(
+                        mms[i], yp, x_boot, vl))
+                    ypreds.append(yp)
+                    valids.append(vl)
+                batched = batched._replace(ar=kin.ARAnchor(
+                    jnp.asarray(np.stack(ypreds), dtype),
+                    jnp.asarray(np.stack(ws), dtype),
+                    jnp.asarray(np.stack(valids), dtype)))
+                q0b = qb
             cfg = kin.KinematicConfig(
                 fisheye=True, robust=True, use_gmm=use_priors,
                 use_ar=use_priors)

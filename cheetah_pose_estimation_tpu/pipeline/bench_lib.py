@@ -45,8 +45,10 @@ def _subject_for(path: str) -> str:
 
 def load_reference_trajectories(max_trials: Optional[int] = None,
                                 include_kinetic: bool = False):
-    """(q, subject_name, fps) tuples from shipped fte.pickle files; falls back
-    to procedural gallops when the reference tree is unavailable."""
+    """(q, subject_name, fps) tuples from shipped fte.pickle files; prefers
+    the physics-based solutions (fte_kinetic_* — dynamically consistent, so
+    they are valid GT for the physics stage too); falls back to procedural
+    gallops when the reference tree is unavailable."""
     out = []
     pats = sorted(glob.glob(os.path.join(
         REF_TEST_SET, "*", "**", "fte_kinematic", "fte.pickle"),
@@ -54,7 +56,10 @@ def load_reference_trajectories(max_trials: Optional[int] = None,
     for p in pats:
         if not include_kinetic and "kinetic_dataset" in p:
             continue
-        with open(p, "rb") as f:
+        kin_p = sorted(glob.glob(os.path.join(
+            os.path.dirname(os.path.dirname(p)), "fte_kinetic_*",
+            "fte.pickle")))
+        with open(kin_p[0] if kin_p else p, "rb") as f:
             q = pickle.load(f)["q"]
         out.append((np.asarray(q), _subject_for(p), _fps_for(p)))
     if not out:
@@ -137,9 +142,12 @@ def build_dryrun_problems(n: int, n_frames: int = 64):
 def build_monocular_problem(q_gt: np.ndarray, subject_name: str, fps: float,
                             cam_idx: Optional[int] = 2, seed: int = 0,
                             n_cams: int = 6,
-                            noise_px: float = 1.5) -> Tuple[kin.KinematicData,
-                                                            np.ndarray,
-                                                            syn.SyntheticTrial]:
+                            noise_px: float = 1.5,
+                            occlusion_rate: float = 0.0,
+                            confusion_rate: float = 0.0
+                            ) -> Tuple[kin.KinematicData,
+                                       np.ndarray,
+                                       syn.SyntheticTrial]:
     # Problem construction is host work: on a tunneled accelerator backend
     # the many distinct-shape scrap ops here would each pay a compile
     # round-trip (~0.4 s), so pin them to the host CPU.
@@ -150,7 +158,9 @@ def build_monocular_problem(q_gt: np.ndarray, subject_name: str, fps: float,
                                  fps=fps, seed=seed)
         trial = syn.synthesize(q_gt, subject, scene, noise_px=noise_px,
                                outlier_frac=0.02, seed=seed,
-                               subject_name=subject_name)
+                               subject_name=subject_name,
+                               occlusion_rate=occlusion_rate,
+                               confusion_rate=confusion_rate)
         w = syn.gated_weights(trial)
         q0 = init.initialize_trajectory(trial.meas, w, scene.K, scene.D,
                                         scene.R, scene.t, subject,
@@ -256,6 +266,7 @@ def build_physics_batch(datas, qs_default, fpss, subject,
                 q, dq, subject, 0, speed, fps,
                 foot_kin=(h_all[i, :N], v_all[i, :N]))
             stance = kn.stance_matrix(contacts, 0, N)
+            stance = kn.prune_stance(stance, q, subject, h)
             base = d._replace(gmm=gp) if gp is not None else d
             kds.append(kn.KineticData(
                 base=base, stance=jnp.asarray(stance),

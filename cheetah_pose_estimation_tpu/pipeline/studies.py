@@ -112,6 +112,21 @@ def run_grid_search_batched(root_dir: str, dir_prefix: str, test_set: Tuple,
         c: dict(mpe=[], mpjpe=[]) for c in configs}
     for subject_name, ests in groups.items():
         subject = params_mod.get_subject(subject_name)
+        # one prior-free bootstrap solve per trial group: its solutions
+        # anchor the AR prior for every configuration (see
+        # estimator.estimate_kinematics)
+        boot_datas = [est.data for _, est in ests]
+        boot_q0s = [est.q0 for _, est in ests]
+        nfb = int(np.ceil(max(d.meas.shape[0]
+                              for d in boot_datas) / 16) * 16)
+        bbat, bq0 = pbatch.pad_and_stack(boot_datas, boot_q0s, n_frames=nfb,
+                                         dtype=dtype)
+        boot = kin.KinematicFTE(
+            kin.KinematicConfig(fisheye=True, robust=True), subject)
+        qb_np = np.asarray(jax.jit(jax.vmap(boot.make_solver()))(
+            bq0, bbat).q, np.float64)
+        x_boots = [np.asarray(sk.relative_pose(qb_np[i]))
+                   for i in range(len(ests))]
         datas, q0s, metasets = [], [], []
         for (n_comp, w, lasso) in configs:
             gp = _pad_gmm(gmm_mod.to_solver_prior(gmm_mod.fit(
@@ -121,15 +136,18 @@ def run_grid_search_batched(root_dir: str, dir_prefix: str, test_set: Tuple,
             mm = armodel.train_motion_model(
                 dset, window_size=w, lasso=lasso,
                 cache_dir=data_ops.prior_cache_dir(dset))
-            for data_path, est in ests:
-                x_init = np.asarray(sk.relative_pose(est.q0))
-                y_pred, valid = armodel.anchor_predictions(mm, x_init)
+            for i, (data_path, est) in enumerate(ests):
+                n = est.data.meas.shape[0]
+                y_pred, valid = armodel.anchor_predictions(
+                    mm, x_boots[i][:n])
+                w_ad = armodel.adaptive_motion_weights(
+                    mm, y_pred, x_boots[i][:n], valid)
                 datas.append(est.data._replace(
                     gmm=gp,
                     ar=kin.ARAnchor(jnp.asarray(y_pred),
-                                    jnp.asarray(armodel.motion_weights(mm)),
+                                    jnp.asarray(w_ad),
                                     jnp.asarray(valid))))
-                q0s.append(est.q0)
+                q0s.append(qb_np[i, :n])
                 metasets.append(((n_comp, w, lasso), data_path, est))
         n_frames = int(np.ceil(max(d.meas.shape[0]
                                    for d in datas) / 16) * 16)
@@ -314,6 +332,113 @@ def run_physics_based_ablation_study(root_dir: str, dir_prefix: str,
     df.to_csv(os.path.join(dir_prefix, "physics_based_ablation_results.csv"),
               index=False)
     return df
+
+
+def run_degradation_sweep(rates: Tuple[float, ...] = (0.0, 1.0, 2.0, 4.0,
+                                                      8.0),
+                          n_frames: int = 64,
+                          data_driven_dataset: Optional[str] = None,
+                          out_dir: Optional[str] = None,
+                          verbose: bool = True) -> pd.DataFrame:
+    """Monocular default vs data-driven across correlated-DLC corruption
+    levels (occlusion bursts at ``rate``, limb confusion at ``0.6 * rate``
+    events/cam/100 frames), batched on the accelerator and scored against
+    the true synthetic GT. This is the regime argument for the learned
+    priors: i.i.d. pixel noise alone never produces the
+    confident-but-wrong failures that make them win (the reference's
+    motivation, acinoset_misc.py:291-336,680-714). Writes
+    ``degradation_sweep.csv``."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import params as params_mod
+    from ..models import skeleton as sk
+    from ..parallel import batch as pbatch
+    from ..priors import armodel, dataset as prior_ds, gmm as gmm_mod
+    from ..solver import kinematic as kin
+    from ..utils import data_ops
+    from ..utils.device import host_cpu
+    from . import bench_lib
+
+    subject = params_mod.get_subject("acinoset")
+    dset = data_driven_dataset or est_mod.DATA_DRIVEN_DATASET
+    with host_cpu():
+        df = prior_ds.load_pose_dataset(dset)
+        gp = gmm_mod.to_solver_prior(gmm_mod.fit(
+            df.iloc[:, 6:28].to_numpy(), n_components=5, seed=42,
+            cache_dir=data_ops.prior_cache_dir(dset)))
+        mm = armodel.train_motion_model(
+            dset, window_size=4, lasso=True,
+            cache_dir=data_ops.prior_cache_dir(dset))
+    trajs = bench_lib.load_reference_trajectories(10)
+    fte_def = kin.KinematicFTE(
+        kin.KinematicConfig(fisheye=True, robust=True), subject)
+    fte_dd = kin.KinematicFTE(
+        kin.KinematicConfig(fisheye=True, robust=True, use_gmm=True,
+                            use_ar=True), subject)
+    vdef = jax.jit(jax.vmap(fte_def.make_solver()))
+    vdd = jax.jit(jax.vmap(fte_dd.make_solver()))
+
+    def mpjpe(qs, gts):
+        out = []
+        with host_cpu():
+            for i, g in enumerate(gts):
+                n = g.shape[0]
+                rec = np.asarray(sk.fk_markers(
+                    jnp.asarray(np.asarray(qs[i, :n], np.float64)), subject))
+                a = rec - rec[:, :1]
+                b = g - g[:, :1]
+                out.append(1e3 * float(np.mean(
+                    np.linalg.norm(a - b, axis=-1))))
+        return float(np.mean(out))
+
+    rows = []
+    for rate in rates:
+        datas, q0s, gts = [], [], []
+        for i, (q_gt, name, fps) in enumerate(trajs):
+            d, q0, tr = bench_lib.build_monocular_problem(
+                q_gt, "acinoset", fps, seed=i, cam_idx=2,
+                occlusion_rate=rate, confusion_rate=0.6 * rate)
+            datas.append(d._replace(gmm=gp))
+            q0s.append(q0)
+            gts.append(tr.markers_gt)
+        bat, q0b = pbatch.pad_and_stack(datas, q0s, n_frames=n_frames,
+                                        dtype=jnp.float32)
+        q_def = vdef(q0b, bat).q
+        # bootstrap-anchored adaptive AR (the production dd path)
+        qd_np = np.asarray(q_def, np.float64)
+        ypreds, ws, valids = [], [], []
+        fv = np.asarray(bat.frame_valid)
+        with host_cpu():
+            for i in range(len(datas)):
+                x_boot = np.asarray(sk.relative_pose(qd_np[i]))
+                yp, vl = armodel.anchor_predictions(mm, x_boot)
+                vl = vl * fv[i]
+                ws.append(armodel.adaptive_motion_weights(mm, yp, x_boot,
+                                                          vl))
+                ypreds.append(yp)
+                valids.append(vl)
+        bat_dd = bat._replace(ar=kin.ARAnchor(
+            jnp.asarray(np.stack(ypreds), jnp.float32),
+            jnp.asarray(np.stack(ws), jnp.float32),
+            jnp.asarray(np.stack(valids), jnp.float32)))
+        q_dd = vdd(q_def, bat_dd).q
+        row = dict(rate=rate, default_mpjpe=round(mpjpe(q_def, gts), 1),
+                   dd_mpjpe=round(mpjpe(q_dd, gts), 1))
+        row["improvement_pct"] = round(
+            100.0 * (1 - row["dd_mpjpe"] / max(row["default_mpjpe"], 1e-9)),
+            1)
+        rows.append(row)
+        if verbose:
+            print(f"[sweep] rate={rate}: default {row['default_mpjpe']} "
+                  f"dd {row['dd_mpjpe']} ({row['improvement_pct']}%)",
+                  flush=True)
+    out = pd.DataFrame(rows)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        out.to_csv(os.path.join(out_dir, "degradation_sweep.csv"),
+                   index=False)
+    return out
 
 
 def model_selection_analysis(data_driven_dataset: Optional[str] = None,

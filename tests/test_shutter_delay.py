@@ -48,6 +48,8 @@ def test_recovers_injected_delays(tmp_path):
     assert tau[0] == 0.0
     # only RELATIVE delays are identifiable (the trajectory itself shifts in
     # time to split the difference): camera 2's delay relative to the other
-    # movable cameras must match the injected value
+    # movable cameras must match the injected value. The joint bordered
+    # solve recovers it to ~1e-4 of a frame period; assert well sub-frame.
     rel = tau[2] - 0.5 * (tau[1] + tau[3])
-    assert abs(abs(rel) - true_tau) < 0.4 * h, (tau, rel, true_tau)
+    assert abs(rel - true_tau) < 0.05 * h, (tau, rel, true_tau)
+    assert all(abs(t) < 0.15 * h for t in (tau[1], tau[3])), tau
