@@ -41,52 +41,61 @@ def linsolve_bench(out_path="docs/artifacts/linsolve_bench.json"):
     from cheetah_pose_estimation_tpu.solver import kinematic as kin
 
     subject = P.get_subject("acinoset")
-    batched, q0b, _, _ = bench_lib.build_batch(max_trials=10, n_frames=64)
-    fte = kin.KinematicFTE(kin.KinematicConfig(), subject)
 
-    @jax.jit
-    def normals(qb, datab):
-        return jax.vmap(lambda q, d: fte._normal(q, d, 1.0))(qb, datab)
+    def bench_shape(B, N, tag):
+        batched, q0b, _, _ = bench_lib.build_batch(
+            max_trials=B, n_frames=N)
+        fte = kin.KinematicFTE(kin.KinematicConfig(), subject)
 
-    g, H = normals(q0b, batched)
-    jax.block_until_ready((g, H))
-    lam = jnp.asarray(1e-2, q0b.dtype)
-    out = {}
-    for method in ("scan", "cr", "pallas"):
-        solve = jax.jit(jax.vmap(
-            lambda gg, Hd, Hl: gn._scaled_solve(
-                gg, type(H)(Hd, Hl), lam, 1e-8, method)))
-        try:
-            dq = solve(g, H.diag, H.lower)
-            dq.block_until_ready()
-            reps = 10
-            t0 = time.time()
-            for _ in range(reps):
+        @jax.jit
+        def normals(qb, datab):
+            return jax.vmap(lambda q, d: fte._normal(q, d, 1.0))(qb, datab)
+
+        g, H = normals(q0b, batched)
+        jax.block_until_ready((g, H))
+        lam = jnp.asarray(1e-2, q0b.dtype)
+        out = {}
+        ref = None
+        for method in ("scan", "cr", "pallas"):
+            solve = jax.jit(jax.vmap(
+                lambda gg, Hd, Hl: gn._scaled_solve(
+                    gg, type(H)(Hd, Hl), lam, 1e-8, method)))
+            try:
                 dq = solve(g, H.diag, H.lower)
-            dq.block_until_ready()
-            ms = (time.time() - t0) / reps * 1e3
-            # correctness vs the scan reference
-            if method == "scan":
-                ref = np.asarray(dq)
-                err = 0.0
-            else:
-                err = float(np.max(np.abs(np.asarray(dq) - ref))
-                            / max(np.max(np.abs(ref)), 1e-30))
-            out[method] = {"ms": round(ms, 2), "rel_err_vs_scan": err}
-            print(f"# linsolve {method}: {ms:.2f} ms  rel_err={err:.2e}",
-                  file=sys.stderr)
-        except Exception as e:
-            out[method] = {"error": repr(e)[:200]}
-            print(f"# linsolve {method}: FAILED {e!r}", file=sys.stderr)
+                dq.block_until_ready()
+                reps = 10
+                t0 = time.time()
+                for _ in range(reps):
+                    dq = solve(g, H.diag, H.lower)
+                dq.block_until_ready()
+                ms = (time.time() - t0) / reps * 1e3
+                # correctness vs the scan reference
+                if method == "scan":
+                    ref = np.asarray(dq)
+                    err = 0.0
+                else:
+                    err = float(np.max(np.abs(np.asarray(dq) - ref))
+                                / max(np.max(np.abs(ref)), 1e-30))
+                out[method] = {"ms": round(ms, 2), "rel_err_vs_scan": err}
+                print(f"# linsolve[{tag}] {method}: {ms:.2f} ms  "
+                      f"rel_err={err:.2e}", file=sys.stderr)
+            except Exception as e:
+                out[method] = {"error": repr(e)[:200]}
+                print(f"# linsolve[{tag}] {method}: FAILED {e!r}",
+                      file=sys.stderr)
+        return {"shape": {"B": B, "N": N, "d": 54}, "results": out}
+
+    cases = {"batched_production": bench_shape(10, 64, "B10xN64"),
+             "long_trial_single": bench_shape(1, 256, "B1xN256")}
     import os
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w", encoding="utf-8") as f:
-        json.dump({"shape": {"B": 10, "N": 64, "d": 54},
-                   "device": jax.devices()[0].platform,
-                   "results": out}, f, indent=1)
-    print(json.dumps({"metric": "banded_solve_batched",
-                      "value": min(v["ms"] for v in out.values()
-                                   if "ms" in v),
+        json.dump({"device": jax.devices()[0].platform, "cases": cases},
+                  f, indent=1)
+    best = min(v["ms"]
+               for v in cases["batched_production"]["results"].values()
+               if "ms" in v)
+    print(json.dumps({"metric": "banded_solve_batched", "value": best,
                       "unit": "ms", "vs_baseline": 0}))
 
 
@@ -173,12 +182,13 @@ def main():
             kmpes.append(np.mean(np.linalg.norm(rec - tr.markers_gt,
                                                 axis=2)) * 1e3)
         # Quality gate is *relative*: the physics stage must not degrade the
-        # kinematic reconstruction (on this synthetic set the learned priors
-        # cannot improve on it — the gallop poses sit off the GMM training
-        # manifold, see data/test_set artifacts notes — so an absolute
-        # threshold would be miscalibrated).
+        # kinematic reconstruction it warm-starts from (measured behavior on
+        # the corrupted synthetic set: physics lands at or slightly below
+        # the default mode's error — the reference's MPJPE ordering — while
+        # its MPE is within noise of the warm start, matching the
+        # reference's own physics-vs-data-driven MPE relation, BASELINE.md).
         ok = bool(np.all(np.isfinite(kqs))) \
-            and np.mean(kmpes) < 1.15 * np.mean(mpes)
+            and np.mean(kmpes) < 1.05 * np.mean(mpes)
         print(f"# physics: compile={phys_compile_s:.1f}s host={host_s:.1f}s "
               f"run={phys_s*1e3:.0f}ms MPE={np.mean(kmpes):.0f}mm ok={ok}",
               file=sys.stderr)

@@ -180,6 +180,15 @@ def pallas_banded_solve(H: banded.BlockBanded, b: jnp.ndarray,
     dtype = H.diag.dtype
     pad = D - d
     assert pad >= 0
+    # The kernel holds every frame's factor blocks in VMEM scratch:
+    # (N, BW+1, 64, 64) f32 ~ N * 64 KiB, against the ~16 MiB scoped VMEM
+    # budget. Beyond ~N=160 the compile fails with a scoped-vmem OOM
+    # (measured at N=256 on v5e); long trials belong to the scan/CR paths
+    # (or a future HBM-streaming variant that keeps only a BW-row window
+    # resident).
+    assert N <= 160, (
+        f"pallas_banded_solve: N={N} exceeds the VMEM-resident limit "
+        "(~160 frames); use linear_solver='scan' or 'cr' for long trials")
     eyepad = np.zeros((D, D), np.float64)
     eyepad[d:, d:] = np.eye(pad)
     diag = jnp.pad(H.diag, ((0, 0), (0, pad), (0, pad))) \

@@ -59,6 +59,8 @@ def load_reference_trajectories(max_trials: Optional[int] = None,
         kin_p = sorted(glob.glob(os.path.join(
             os.path.dirname(os.path.dirname(p)), "fte_kinetic_*",
             "fte.pickle")))
+        if os.environ.get("CHEETAH_GT_KINEMATIC") == "1":
+            kin_p = []     # debug/ablation: force the multi-view kinematic GT
         with open(kin_p[0] if kin_p else p, "rb") as f:
             q = pickle.load(f)["q"]
         out.append((np.asarray(q), _subject_for(p), _fps_for(p)))

@@ -184,10 +184,22 @@ def gait_analysis(q: np.ndarray, tau: Optional[np.ndarray],
 # GRF / LCP checks (reference results.py:17-31, 1416-1446)
 # ---------------------------------------------------------------------------
 
-def check_grf(grf_z: np.ndarray, foot_heights: np.ndarray,
+def check_grf(grf_xy: np.ndarray, tol: float = 1e-6) -> Dict[str, float]:
+    """Friction-polygon complementarity sanity (reference check_grf,
+    results.py:17-31): the |x| = x+ + x- decomposition requires that
+    opposite polygon components (+x/-x, +y/-y; dynamics.eom.POLYGON_D order
+    0/2 and 1/3) are never simultaneously active."""
+    g = np.asarray(grf_xy)                      # (N, 4 feet, 4 dirs)
+    both_x = (g[..., 0] > tol) & (g[..., 2] > tol)
+    both_y = (g[..., 1] > tol) & (g[..., 3] > tol)
+    n_bad = int(both_x.sum() + both_y.sum())
+    return {"n_invalid": n_bad, "ok": n_bad == 0}
+
+
+def check_lcp(grf_z: np.ndarray, foot_heights: np.ndarray,
               tol: float = 1e-2) -> Dict[str, float]:
-    """LCP complementarity sanity: GRFz * max(foot_height, 0) ~ 0
-    (reference check_grf, results.py:17-31)."""
+    """Epsilon-relaxed ground complementarity: GRFz * max(foot_height, 0)
+    should be ~0 (the solver-side enable_lcp penalty's target)."""
     comp = np.asarray(grf_z) * np.maximum(np.asarray(foot_heights), 0.0)
     return {"max_violation": float(np.max(np.abs(comp))),
             "mean_violation": float(np.mean(np.abs(comp))),

@@ -88,7 +88,7 @@ class KineticConfig:
     # engine capability the estimator optionally re-enables)
     enable_lcp: bool = False
     lcp_eps: float = 1e-3
-    lcp_penalty: float = 1e4
+    lcp_penalty: float = 1e5
     cam_multipliers: Tuple[float, ...] = ()
     # reference estimate_kinetics(use_2d_reprojections=False): replace the
     # reprojection term with a weighted 3D tracking cost against the

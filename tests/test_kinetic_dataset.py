@@ -41,3 +41,60 @@ def test_run_kinetic_single_trial(tmp_path):
     # analysis layer runs over the outputs
     analysis = rd.kinetic_analysis(root, out, kinetic_set=one)
     assert os.path.exists(os.path.join(base, "torques.pdf"))
+
+
+def test_joint_estimation_grf_floor_and_lcp(tmp_path):
+    """Joint torque/GRF estimation with the prescribed-stance GRFz floor and
+    the eps-relaxed LCP: no zero-force mid-stance frames (reference
+    prescribe_contact_order min_GRFz, acinoset_misc.py:1143) and the
+    complementarity check passes (reference check_grf, results.py:17-31)."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from cheetah_pose_estimation_tpu.dynamics import eom as dyn
+    from cheetah_pose_estimation_tpu.pipeline import estimator as est_mod
+    from cheetah_pose_estimation_tpu.pipeline import results as results_mod
+    from cheetah_pose_estimation_tpu.solver import kinetic as kn
+
+    root = str(tmp_path / "videos")
+    out = str(tmp_path / "out")
+    rd.materialize_synthetic_kinetic_testset(root)
+    cheetah, date, trial = rd.KINETIC_SET[1]
+    data_path = os.path.join("kinetic_dataset", date, cheetah,
+                             f"trial{trial}")
+    est = est_mod.init_trajectory(root, data_path, cheetah,
+                                  kinetic_dataset=True, kinematic_model=True)
+    assert est_mod.estimate_kinematics(est, out_dir_prefix=out)
+    est = est_mod.init_trajectory(root, data_path, cheetah,
+                                  kinetic_dataset=True,
+                                  kinematic_model=False)
+    est_mod.determine_contacts(est, out_dir_prefix=out)
+    assert est_mod.estimate_kinetics(est, joint_estimation=True,
+                                     enable_lcp=True, out_dir_prefix=out)
+    # reconstruct the pruned prescribed-stance schedule the solver used
+    with open(os.path.join(out, data_path, "grf", "autogen-contact.json"),
+              encoding="utf-8") as f:
+        cj = json.load(f)
+    warm = dio.load_fte_pickle(os.path.join(out, data_path, "fte_kinematic",
+                                            "fte.pickle"))
+    N = est.q.shape[0]
+    stance = kn.stance_matrix(cj["contacts"], cj["start_frame"], N)
+    stance = kn.prune_stance(stance, np.asarray(warm["q"]), est.subject,
+                             1.0 / est.scene.fps)
+    if stance.sum() > 0:
+        # no zero-force mid-stance frames: the floor guarantees >= min_GRFz
+        in_stance = stance > 0
+        assert est.grf_z[in_stance].min() >= 0.009, \
+            est.grf_z[in_stance].min()
+    # friction-polygon complementarity (reference check_grf semantics)
+    rep = results_mod.check_grf(est.grf_xy, tol=1e-4)
+    assert rep["ok"], rep
+    # ground complementarity: loaded feet near the ground (eps-LCP); soft
+    # penalty, so assert the mean is small and the worst case bounded
+    pts = np.asarray(jax.vmap(
+        lambda qq: dyn.foot_points(qq, est.subject))(jnp.asarray(est.q)))
+    lcp = results_mod.check_lcp(est.grf_z, pts[..., 2])
+    assert lcp["mean_violation"] < 0.02, lcp
+    assert lcp["max_violation"] < 0.3, lcp

@@ -84,10 +84,20 @@ def test_contact_json_conversion_and_gait():
 
 
 def test_check_grf_and_contact_scoring():
+    # polygon complementarity: opposite directions never both active
+    gxy = np.zeros((3, 4, 4))
+    gxy[0, 0, 0] = 0.5            # +x only: ok
+    gxy[1, 1, 1] = 0.2            # +y only: ok
+    r = R.check_grf(gxy)
+    assert r["ok"]
+    gxy[2, 2, 0] = 0.1
+    gxy[2, 2, 2] = 0.1            # +x AND -x: invalid
+    r = R.check_grf(gxy)
+    assert not r["ok"] and r["n_invalid"] == 1
+    # ground complementarity (epsilon-LCP target)
     gz = np.array([[1.0, 0.0], [0.5, 0.0]])
     fh = np.array([[0.0, 0.2], [0.001, 0.3]])
-    r = R.check_grf(gz, fh)
-    assert r["ok"]
+    assert R.check_lcp(gz, fh)["ok"]
     pred = {"HFL_foot": [[10, 20, 0, "leading"]], "HFR_foot": None,
             "HBL_foot": None, "HBR_foot": None}
     ref = {"HFL_foot": [[12, 20, 0, "leading"]], "HFR_foot": None,
