@@ -577,6 +577,7 @@ def estimate_kinetics(est: CheetahEstimator,
                       synthesised_grf: bool = False,
                       ground_constraint: bool = False,
                       disable_pose_prior: bool = False,
+                      disable_motion_prior: bool = False,
                       use_2d_reprojections: bool = True,
                       enable_lcp: bool = False,
                       out_fname: str = "fte",
@@ -644,6 +645,12 @@ def estimate_kinetics(est: CheetahEstimator,
         use_gmm=use_gmm, kinetic_dataset=p.kinetic_dataset,
         use_2d_reprojections=use_2d_reprojections,
         enable_lcp=enable_lcp,
+        # the kinetic stage's "motion prior" is the torque + marker-
+        # smoothing energy (reference acinoset_opt.py:919-920;
+        # disable_motion_prior zeroes it). A tiny torque ridge survives so
+        # the per-frame elimination stays nonsingular.
+        torque_weight=1e-6 if disable_motion_prior else 1.0,
+        smooth_weight_scale=0.0 if disable_motion_prior else 0.1,
         foot_height_bound=0.03 if p.kinetic_dataset else 0.1,
         cam_multipliers=(1.0, 1.0, 0.6, 0.6) if p.kinetic_dataset else ())
     fte = kn.KineticFTE(cfg, est.subject)

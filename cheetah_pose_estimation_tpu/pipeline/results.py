@@ -654,6 +654,54 @@ def example_robustness(root_dir: str, dir_prefix: str,
     return vals
 
 
+def ablation_study(dir_prefix: str):
+    """Reference-scale ablation figure (reference ablation_study,
+    results.py:890-985): grouped bars of MPE / MPJPE / CoM-vel RMSE over the
+    four prior scenarios (Default, Pose, Motion, Pose + Motion) for the
+    data-driven and physics-based model families, read from the ablation
+    CSVs written by pipeline.studies. Saves ``ablation-study.pdf``."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.gridspec as gridspec
+    import matplotlib.pyplot as plt
+    import pandas as pd
+
+    d1 = pd.read_csv(os.path.join(dir_prefix,
+                                  "data_driven_ablation_results.csv"))
+    d2 = pd.read_csv(os.path.join(
+        dir_prefix, "physics_based_ablation_results.csv"))
+    # scenario -> config-label mapping ("Pose" = pose prior only, i.e. the
+    # motion prior disabled)
+    scenarios = ("Default", "Pose", "Motion", "Pose + Motion")
+    labels = ("neither", "no-motion", "no-pose", "both")
+
+    def series(df, col):
+        by = df.set_index("config")[col]
+        return [float(by.get(lbl, np.nan)) for lbl in labels]
+
+    width = 0.25
+    x = np.arange(len(scenarios))
+    fig = plt.figure(figsize=(16, 9), dpi=120)
+    gs = gridspec.GridSpec(2, 4)
+    panels = [(plt.subplot(gs[0, :2]), "mpe", "MPE (mm)"),
+              (plt.subplot(gs[0, 2:]), "mpjpe", "MPJPE (mm)"),
+              (plt.subplot(gs[1, 1:3]), "cvr", "CVR (m/s)")]
+    for ax, col, ylabel in panels:
+        if col not in d1.columns:
+            continue
+        ax.bar(x - width / 2, series(d1, col), width, label="Data-driven")
+        if col in d2.columns:
+            ax.bar(x + width / 2, series(d2, col), width,
+                   label="Physics-based")
+        ax.set_xticks(x)
+        ax.set_xticklabels(scenarios)
+        ax.set_ylabel(ylabel)
+    fig.legend(("Data-driven", "Physics-based"), loc="lower right")
+    fig.savefig(os.path.join(dir_prefix, "ablation-study.pdf"),
+                bbox_inches="tight")
+    plt.close(fig)
+
+
 def data_driven_analysis(dir_prefix: str,
                          pose_components: Tuple[int, ...] =
                          (1, 2, 3, 4, 5, 6, 7),

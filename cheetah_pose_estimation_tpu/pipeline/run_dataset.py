@@ -652,6 +652,16 @@ def _post_process_plots(results_df: pd.DataFrame, dir_prefix: str):
         print(f"plotting skipped: {e}")
 
 
+def _maybe_ablation_figure(dir_prefix: str):
+    """Render the combined ablation figure once both family CSVs exist."""
+    both = all(os.path.exists(os.path.join(dir_prefix, f))
+               for f in ("data_driven_ablation_results.csv",
+                         "physics_based_ablation_results.csv"))
+    if both:
+        from . import results as results_mod
+        results_mod.ablation_study(dir_prefix)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         description="TPU-native cheetah reconstruction dataset driver")
@@ -724,7 +734,8 @@ def main(argv=None):
         from . import studies
         if args.batched:
             studies.run_grid_search_batched(
-                args.root_dir, args.out_dir_prefix, test_set, cam_overrides)
+                args.root_dir, args.out_dir_prefix, test_set,
+                cam_overrides=cam_overrides)
         else:
             studies.run_grid_search(args.root_dir, args.out_dir_prefix,
                                     test_set)
@@ -737,10 +748,12 @@ def main(argv=None):
         from . import studies
         studies.run_data_driven_ablation_study(args.root_dir,
                                                args.out_dir_prefix, test_set)
+        _maybe_ablation_figure(args.out_dir_prefix)
     if args.run_physics_based_ablation_study:
         from . import studies
         studies.run_physics_based_ablation_study(
             args.root_dir, args.out_dir_prefix, test_set, cam_overrides)
+        _maybe_ablation_figure(args.out_dir_prefix)
 
 
 if __name__ == "__main__":

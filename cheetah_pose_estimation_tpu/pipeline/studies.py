@@ -19,21 +19,27 @@ from . import estimator as est_mod
 from . import metrics as metrics_mod
 
 
-def _score_against_multiview(dir_prefix: str, data_path: str,
-                             sub: str) -> Optional[Tuple[float, float]]:
+def _score_against_multiview(dir_prefix: str, data_path: str, sub: str
+                             ) -> Optional[Tuple[float, float, float]]:
+    """(MPE mm, MPJPE mm, CoM-vel RMSE m/s) of ``sub`` vs the multi-view
+    solve."""
     base = os.path.join(dir_prefix, data_path)
     gt_p = os.path.join(base, "fte_kinematic", "fte.pickle")
     p = os.path.join(base, sub, "fte.pickle")
     if not (os.path.exists(gt_p) and os.path.exists(p)):
         return None
-    gt = dio.load_fte_pickle(gt_p)["positions"]
-    pos = dio.load_fte_pickle(p)["positions"]
+    gtd = dio.load_fte_pickle(gt_p)
+    d = dio.load_fte_pickle(p)
+    gt, pos = gtd["positions"], d["positions"]
     n = min(len(gt), len(pos))
     mpe_tbl, _, _ = metrics_mod.traj_error(gt[:n].copy(), pos[:n].copy(),
                                            verbose=False)
     mpjpe_tbl, _, _ = metrics_mod.traj_error(gt[:n].copy(), pos[:n].copy(),
                                              centered=True, verbose=False)
-    return float(mpe_tbl.mean().iloc[0]), float(mpjpe_tbl.mean().iloc[0])
+    cvr = metrics_mod.rmse(np.asarray(gtd["com_vel"])[:n - 1],
+                           np.asarray(d["com_vel"])[:n - 1])
+    return (float(mpe_tbl.mean().iloc[0]),
+            float(mpjpe_tbl.mean().iloc[0]), float(cvr))
 
 
 def _pad_gmm(gp, k_max: int):
@@ -254,7 +260,7 @@ def run_data_driven_ablation_study(root_dir: str, dir_prefix: str,
     rows = []
     trials = test_set[:max_trials] if max_trials else test_set
     for label, no_pose, no_motion in configs:
-        mpes, mpjpes = [], []
+        mpes, mpjpes, cvrs = [], [], []
         for idx, (cheetah, date, name) in enumerate(trials):
             data_path = os.path.join(date, cheetah, name)
             if not os.path.isdir(os.path.join(root_dir, data_path)):
@@ -274,9 +280,11 @@ def run_data_driven_ablation_study(root_dir: str, dir_prefix: str,
             if s:
                 mpes.append(s[0])
                 mpjpes.append(s[1])
+                cvrs.append(s[2])
         rows.append(dict(config=label,
                          mpe=np.mean(mpes) if mpes else np.nan,
                          mpjpe=np.mean(mpjpes) if mpjpes else np.nan,
+                         cvr=np.mean(cvrs) if cvrs else np.nan,
                          n=len(mpes)))
     df = pd.DataFrame(rows)
     os.makedirs(dir_prefix, exist_ok=True)
@@ -315,6 +323,7 @@ def run_physics_based_ablation_study(root_dir: str, dir_prefix: str,
                                        out_dir_prefix=dir_prefix)
             ok = est_mod.estimate_kinetics(
                 est, joint_estimation=True, disable_pose_prior=no_pose,
+                disable_motion_prior=no_motion,
                 out_dir_prefix=dir_prefix)
             if not ok:
                 continue
@@ -323,9 +332,11 @@ def run_physics_based_ablation_study(root_dir: str, dir_prefix: str,
             if s:
                 mpes.append(s[0])
                 mpjpes.append(s[1])
+                cvrs.append(s[2])
         rows.append(dict(config=label,
                          mpe=np.mean(mpes) if mpes else np.nan,
                          mpjpe=np.mean(mpjpes) if mpjpes else np.nan,
+                         cvr=np.mean(cvrs) if cvrs else np.nan,
                          n=len(mpes)))
     df = pd.DataFrame(rows)
     os.makedirs(dir_prefix, exist_ok=True)
