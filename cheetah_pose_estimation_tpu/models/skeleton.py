@@ -173,7 +173,10 @@ def marker_positions(frames: LinkFrames) -> jnp.ndarray:
 
 def fk_markers(q: jnp.ndarray, params: SubjectParams) -> jnp.ndarray:
     """q (..., 54) -> marker positions (..., 24, 3)."""
-    return marker_positions(link_frames(q, params))
+    # host callers pass np.float64; canonicalize so q.dtype-based constant
+    # creation below does not request an unavailable f64 (warning spam when
+    # x64 is off)
+    return marker_positions(link_frames(jnp.asarray(q), params))
 
 
 # ---------------------------------------------------------------------------
@@ -369,6 +372,7 @@ def fk_markers_and_jacobian(q: jnp.ndarray, params: SubjectParams):
 def com_position(q: jnp.ndarray, params: SubjectParams) -> jnp.ndarray:
     """Mass-weighted whole-body centre of mass (reference
     ``acinoset_misc.py:722-742``). (..., 3)."""
+    q = jnp.asarray(q)
     frames = link_frames(q, params)
     m = jnp.asarray(params.mass, dtype=q.dtype)
     return jnp.einsum("i,...ij->...j", m, frames.com) / params.total_mass
@@ -427,5 +431,6 @@ def relative_pose(q: jnp.ndarray) -> jnp.ndarray:
     Linear: x = A_REL @ q. Applies equally to dq/ddq (reference applies the
     same extraction to velocities/accelerations, ``acinoset_opt.py:320-329``).
     """
+    q = jnp.asarray(q)
     A = jnp.asarray(A_REL, dtype=q.dtype)
     return jnp.einsum("ij,...j->...i", A, q)

@@ -268,7 +268,9 @@ def build_physics_batch(datas, qs_default, fpss, subject,
                 q, dq, subject, 0, speed, fps,
                 foot_kin=(h_all[i, :N], v_all[i, :N]))
             stance = kn.stance_matrix(contacts, 0, N)
-            stance = kn.prune_stance(stance, q, subject, h)
+            stance = kn.prune_stance(
+                stance, q, subject, h,
+                foot_speed=np.linalg.norm(v_all[i, :N, :, :2], axis=-1))
             base = d._replace(gmm=gp) if gp is not None else d
             kds.append(kn.KineticData(
                 base=base, stance=jnp.asarray(stance),

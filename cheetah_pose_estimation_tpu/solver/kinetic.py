@@ -541,7 +541,7 @@ class KineticFTE:
         return g, banded.BlockBanded(diag=Hdiag, lower=Hlower)
 
     # ------------------------------------------------------------------
-    def make_solver(self, stages=((3.0, 30), (1.0, 170)), ftol: float = 1e-9,
+    def make_solver(self, stages=((3.0, 30), (1.0, 120)), ftol: float = 1e-9,
                     lam0: float = 10.0, linear_solver: str = "scan",
                     driver: str = "while"):
         from . import gn as gn_mod
@@ -586,7 +586,8 @@ def stance_matrix(contacts: dict, start_frame: int, n_frames: int
 
 def prune_stance(stance: np.ndarray, q_warm: np.ndarray,
                  subject: SubjectParams, h: float,
-                 max_median_speed: float = 4.0) -> np.ndarray:
+                 max_median_speed: float = 4.0,
+                 foot_speed: Optional[np.ndarray] = None) -> np.ndarray:
     """Drop physically impossible stance windows.
 
     The heuristic detector (contact_detection) occasionally emits a window
@@ -595,14 +596,22 @@ def prune_stance(stance: np.ndarray, q_warm: np.ndarray,
     injects multi-1e5 penalties *at the true solution* and drags the physics
     stage away from it. A window whose median warm-start foot xy-speed
     exceeds ``max_median_speed`` (m/s; true stance is < 1) is removed.
+
+    ``foot_speed`` (N, 4): precomputed xy speeds — pass them when foot
+    kinematics were already evaluated batched (bench_lib/pipeline hot
+    paths), avoiding a per-trial FK jit on the host.
     """
-    import jax as _jax
-    pts = np.asarray(_jax.vmap(
-        lambda qq: dyn.foot_points(jnp.asarray(qq), subject))(
-        jnp.asarray(q_warm)))
-    v = np.zeros(pts.shape[:2])
-    v[1:] = np.linalg.norm((pts[1:, :, :2] - pts[:-1, :, :2]) / h, axis=-1)
-    v[0] = v[1] if len(v) > 1 else 0.0
+    if foot_speed is not None:
+        v = np.asarray(foot_speed)
+    else:
+        import jax as _jax
+        pts = np.asarray(_jax.vmap(
+            lambda qq: dyn.foot_points(jnp.asarray(qq), subject))(
+            jnp.asarray(q_warm)))
+        v = np.zeros(pts.shape[:2])
+        v[1:] = np.linalg.norm((pts[1:, :, :2] - pts[:-1, :, :2]) / h,
+                               axis=-1)
+        v[0] = v[1] if len(v) > 1 else 0.0
     out = stance.copy()
     for f in range(stance.shape[1]):
         on = np.flatnonzero(stance[:, f] > 0)

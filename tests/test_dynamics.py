@@ -134,6 +134,7 @@ def test_torque_map_structure():
     np.testing.assert_allclose(tm.B.sum(axis=0), 0.0, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_eom_matches_reference_solution_in_flight():
     """Cross-validation against the reference's own physics-based solution:
     evaluating OUR EOM on the shipped fte_kinetic (q, dq, ddq, tau) must give

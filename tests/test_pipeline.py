@@ -56,6 +56,7 @@ def test_scene_roundtrip(trial_dir):
     np.testing.assert_allclose(t.reshape(-1, 3), trial.scene.t)
 
 
+@pytest.mark.slow
 def test_multiview_pipeline_end_to_end(trial_dir):
     root, data_path, trial = trial_dir
     est = est_mod.init_trajectory(root, data_path, "phantom",
@@ -88,6 +89,7 @@ def test_multiview_pipeline_end_to_end(trial_dir):
     assert np.isfinite(tab.to_numpy().astype(float)).mean() > 0.5
 
 
+@pytest.mark.slow
 def test_monocular_pipeline(trial_dir):
     root, data_path, trial = trial_dir
     est = est_mod.init_trajectory(root, data_path, "phantom",

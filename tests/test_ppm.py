@@ -38,6 +38,7 @@ def test_ppm_roundtrip(tmp_path):
     assert (weight[..., 1:] > 0).mean() > 0.9
 
 
+@pytest.mark.slow
 def test_ppm_pipeline_improves_dropout_robustness(tmp_path):
     """With most base detections dropped, the pairwise channels must carry
     the reconstruction (reference enables PPMs for flick trials,

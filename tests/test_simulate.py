@@ -6,6 +6,8 @@ from cheetah_pose_estimation_tpu.dynamics import eom as dyn
 from cheetah_pose_estimation_tpu.dynamics import simulate as sim
 from cheetah_pose_estimation_tpu.models import params as P
 
+pytestmark = pytest.mark.slow
+
 SUBJ = P.get_subject("acinoset")
 
 

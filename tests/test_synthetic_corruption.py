@@ -77,3 +77,9 @@ def test_prune_stance_drops_fast_windows():
                           max_median_speed=4.0)
     assert out[2:10, 0].sum() == 8
     assert out[:, 1].sum() == 0
+    # precomputed-speed fast path (used by the batched pipelines) agrees
+    speeds = np.zeros((N, 4))
+    speeds[18:28, :] = 10.0
+    out2 = kn.prune_stance(stance, q, subject, 1.0 / 120.0,
+                           max_median_speed=4.0, foot_speed=speeds)
+    np.testing.assert_array_equal(out, out2)

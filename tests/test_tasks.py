@@ -6,6 +6,8 @@ import pytest
 from cheetah_pose_estimation_tpu.dynamics import tasks
 from cheetah_pose_estimation_tpu.models import params as P
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def subject():
