@@ -90,7 +90,6 @@ def run_grid_search_batched(root_dir: str, dir_prefix: str, test_set: Tuple,
     from ..solver import kinematic as kin
     from ..utils import data_ops
     from . import batched as batched_mod
-    from . import metrics as metrics_mod
 
     t0 = _time.time()
     if dtype is None:

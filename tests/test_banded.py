@@ -123,3 +123,56 @@ def test_cr_solve_vmap():
     for i in range(3):
         ref = np.linalg.solve(Hds[i], bs[i].ravel()).reshape(12, 4)
         np.testing.assert_allclose(xs[i], ref, rtol=1e-8, atol=1e-10)
+
+
+def test_bordered_solve_matches_dense():
+    """gn._bordered_solve (banded Schur on the border columns) must match a
+    dense solve of the full bordered SPD system."""
+    import numpy as np
+
+    from cheetah_pose_estimation_tpu.ops import banded
+    from cheetah_pose_estimation_tpu.solver import gn
+
+    rng = np.random.default_rng(0)
+    N, d, B, C = 7, 4, 2, 3
+    lam = 0.1
+    # random SPD block-banded H
+    A = rng.normal(size=(N * d, N * d))
+    H_dense = A @ A.T + 5.0 * N * d * np.eye(N * d)
+    for i in range(N):
+        for j in range(N):
+            if abs(i - j) > B:
+                H_dense[i * d:(i + 1) * d, j * d:(j + 1) * d] = 0.0
+    diag = np.stack([H_dense[t * d:(t + 1) * d, t * d:(t + 1) * d]
+                     for t in range(N)])
+    lower = np.zeros((B, N, d, d))
+    for k in range(1, B + 1):
+        for t in range(N - k):
+            lower[k - 1, t] = H_dense[(t + k) * d:(t + k + 1) * d,
+                                      t * d:(t + 1) * d]
+    Bmat = rng.normal(size=(N, d, C))
+    Htt = rng.uniform(5.0, 10.0, size=C)
+    gq = rng.normal(size=(N, d))
+    gtau = rng.normal(size=C)
+
+    H = banded.BlockBanded(jnp.asarray(diag), jnp.asarray(lower))
+    dq, dtau = gn._bordered_solve(jnp.asarray(gq), H, jnp.asarray(gtau),
+                                  jnp.asarray(Bmat), jnp.asarray(Htt),
+                                  jnp.asarray(lam), 1e-12)
+
+    # dense reference with the SAME scaled-Marquardt damping
+    s = 1.0 / np.sqrt(np.diagonal(H_dense).copy())
+    st = 1.0 / np.sqrt(Htt)
+    D_full = np.zeros((N * d + C, N * d + C))
+    D_full[:N * d, :N * d] = H_dense
+    D_full[:N * d, N * d:] = Bmat.reshape(N * d, C)
+    D_full[N * d:, :N * d] = Bmat.reshape(N * d, C).T
+    D_full[N * d:, N * d:] = np.diag(Htt)
+    S = np.concatenate([s, st])
+    Ds = S[:, None] * D_full * S[None, :] + lam * np.eye(N * d + C)
+    rhs = -np.concatenate([gq.reshape(-1), gtau]) * S
+    sol = S * np.linalg.solve(Ds, rhs)
+    np.testing.assert_allclose(np.asarray(dq).reshape(-1), sol[:N * d],
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(dtau), sol[N * d:],
+                               rtol=1e-8, atol=1e-10)
