@@ -298,18 +298,19 @@ def run_physics_based_ablation_study(root_dir: str, dir_prefix: str,
                                      = None,
                                      max_trials: Optional[int] = None
                                      ) -> pd.DataFrame:
-    """Pose-prior on/off ablation over the physics-based mode (reference
+    """Prior ablation over the physics-based mode (reference
     ``run_physics_based_ablation_study``, run_dataset.py:721-810): each
     configuration re-solves the monocular kinetic FTE in joint-estimation
     mode from the saved data-driven warm start and scores against the
-    multi-view solution. The reference's motion-prior axis is a no-op in the
-    kinetic stage (the AR anchor only enters the kinematic solve), so the
-    sweep here is pose prior on/off."""
-    configs = [("pose", False), ("no-pose", True)]
+    multi-view solution. The kinetic stage's "motion prior" is the torque +
+    marker-smoothing energy (reference acinoset_opt.py:919-920), so the
+    sweep is the full pose x motion grid like the reference's."""
+    configs = [("both", False, False), ("no-pose", True, False),
+               ("no-motion", False, True), ("neither", True, True)]
     rows = []
     trials = test_set[:max_trials] if max_trials else test_set
-    for label, no_pose in configs:
-        mpes, mpjpes = [], []
+    for label, no_pose, no_motion in configs:
+        mpes, mpjpes, cvrs = [], [], []
         for idx, (cheetah, date, name) in enumerate(trials):
             data_path = os.path.join(date, cheetah, name)
             if not os.path.isdir(os.path.join(root_dir, data_path)):

@@ -74,9 +74,11 @@ class KinematicData(NamedTuple):
     # couples them as live collocation variables; here they are lagged
     # constants refreshed between alternating solves — the correction is
     # second-order small). Defaults disable the feature.
-    sd_tau: jnp.ndarray = jnp.zeros(1)       # (C,)
-    sd_vel: jnp.ndarray = jnp.zeros((1, 3))  # (N, 3)
-    sd_acc: jnp.ndarray = jnp.zeros((1, 3))  # (N, 3)
+    # numpy defaults: jnp here would initialize the device backend at
+    # import time (hangs imports when the accelerator is unreachable)
+    sd_tau: jnp.ndarray = np.zeros(1)        # (C,)
+    sd_vel: jnp.ndarray = np.zeros((1, 3))   # (N, 3)
+    sd_acc: jnp.ndarray = np.zeros((1, 3))   # (N, 3)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -59,8 +59,9 @@ class KineticData(NamedTuple):
     # optional torque anchor (GRF re-estimation mode, acinoset_opt.py:995-1001
     # bounds torques within 10% of the prior kinetic solution — realized here
     # as a quadratic anchor in the per-frame elimination)
-    tau_anchor: jnp.ndarray = jnp.zeros((1, dyn.N_TAU))   # (N, 22) or (1, 22)
-    tau_anchor_weight: jnp.ndarray = jnp.asarray(0.0)
+    # numpy defaults (jnp would initialize the backend at import time)
+    tau_anchor: jnp.ndarray = np.zeros((1, dyn.N_TAU))    # (N, 22) or (1, 22)
+    tau_anchor_weight: jnp.ndarray = np.asarray(0.0)
 
 
 @dataclasses.dataclass(frozen=True)
