@@ -160,8 +160,15 @@ def main():
         t_host0 = time.time()
         qs_default = [qs64[i, : tr.q_gt.shape[0]]
                       for i, tr in enumerate(trials)]
+        # per-trial ground elevation from the GT feet (the synthetic stand-in
+        # for the reference's metadata ground_plane_height — AcinoSet world
+        # frames do not have the ground at z=0)
+        from cheetah_pose_estimation_tpu.pipeline import contacts as cmod
+        gphs = [cmod.estimate_ground_height(tr.q_gt, subject)
+                for tr in trials]
         kbat, q_warm_b = bench_lib.build_physics_batch(
-            datas, qs_default, fpss, subject, n_frames=n_frames, dtype=dtype)
+            datas, qs_default, fpss, subject, n_frames=n_frames, dtype=dtype,
+            ground_heights=gphs)
         host_s = time.time() - t_host0
         kfte = kn.KineticFTE(kn.KineticConfig(use_gmm=True), subject)
         kvrun = jax.jit(jax.vmap(kfte.make_solver()))

@@ -257,7 +257,8 @@ def synthesize(q_gt: np.ndarray, subject: SubjectParams,
 
 
 def write_trial_dir(trial: SyntheticTrial, root_dir: str, data_path: str,
-                    monocular_cam: int = 0, write_ppm: bool = False) -> str:
+                    monocular_cam: int = 0, write_ppm: bool = False,
+                    ground_plane_height: float = 0.0) -> str:
     """Materialize a synthetic trial as an AcinoSet-style directory tree:
     dlc/cam*.h5|.csv, extrinsic_calib/N_cam_scene_sba.json, metadata.json —
     the exact inputs the file-based pipeline (pipeline.estimator) consumes."""
@@ -285,7 +286,8 @@ def write_trial_dir(trial: SyntheticTrial, root_dir: str, data_path: str,
         trial.scene.K, trial.scene.D, trial.scene.R, trial.scene.t,
         trial.scene.cam_res)
     dio.save_metadata(data_dir, start_frame=0, end_frame=N,
-                      monocular_cam=monocular_cam)
+                      monocular_cam=monocular_cam,
+                      ground_plane_height=ground_plane_height)
     return data_dir
 
 

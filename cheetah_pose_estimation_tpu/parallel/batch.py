@@ -161,4 +161,5 @@ def pad_and_stack_kinetic(kds, q_warms, n_frames: Optional[int] = None,
             q_warm=q_warm_b,
             tau_anchor=jnp.asarray(np.stack(tau_anchors), dtype=dt),
             tau_anchor_weight=stack("tau_anchor_weight", pad_axis0=False),
+            ground_z=stack("ground_z", pad_axis0=False),
         ), q_warm_b

@@ -239,7 +239,8 @@ def run_physics_batched(root_dir: str, dir_prefix: str,
                 grf_fixed=jnp.zeros((N, 4)),
                 grf_xy_fixed=jnp.zeros((N, 4, 4)),
                 use_fixed_grf=jnp.asarray(0.0),
-                q_warm=jnp.asarray(d["q"])))
+                q_warm=jnp.asarray(d["q"]),
+                ground_z=jnp.asarray(est.params.ground_plane_height)))
             q_warms.append(np.asarray(d["q"]))
         n_frames = int(np.ceil(max(kd.base.meas.shape[0]
                                    for kd in kds) / 16) * 16)

@@ -213,10 +213,15 @@ def build_batch(max_trials: Optional[int] = None, n_frames: Optional[int] = None
 
 def build_physics_batch(datas, qs_default, fpss, subject,
                         n_frames: Optional[int] = None, dtype=jnp.float32,
-                        use_gmm: bool = True):
+                        use_gmm: bool = True,
+                        ground_heights: Optional[List[float]] = None):
     """Batched physics-based problems warm-started from solved kinematic
     trajectories: host-side contact detection per trial -> stance schedules
-    -> one stacked KineticData (joint torque/GRF estimation mode)."""
+    -> one stacked KineticData (joint torque/GRF estimation mode).
+
+    ``ground_heights`` (len B): per-trial ground plane elevation (the
+    reference's metadata ground_plane_height — AcinoSet world frames do not
+    have the ground at z=0). Defaults to 0 for all trials."""
     from ..priors import dataset as prior_ds, gmm as gmm_mod
     from ..solver import kinetic as kn
     from . import contacts as contacts_mod
@@ -260,12 +265,15 @@ def build_physics_batch(datas, qs_default, fpss, subject,
             q = np.asarray(q, np.float64)
             N = q.shape[0]
             h = 1.0 / fps
+            gph = float(ground_heights[i]) if ground_heights is not None \
+                else 0.0
             dq = np.zeros_like(q)
             dq[1:] = (q[1:] - q[:-1]) / h
             com_vel = (com_all[i, 1:N] - com_all[i, :N - 1]) * fps
             speed = float(np.mean(np.linalg.norm(com_vel, axis=1)))
             contacts, _ = contacts_mod.contact_detection(
                 q, dq, subject, 0, speed, fps,
+                ground_plane_height=gph,
                 foot_kin=(h_all[i, :N], v_all[i, :N]))
             stance = kn.stance_matrix(contacts, 0, N)
             stance = kn.prune_stance(
@@ -276,7 +284,8 @@ def build_physics_batch(datas, qs_default, fpss, subject,
                 base=base, stance=jnp.asarray(stance),
                 grf_fixed=jnp.zeros((N, 4)),
                 grf_xy_fixed=jnp.zeros((N, 4, 4)),
-                use_fixed_grf=jnp.asarray(0.0), q_warm=jnp.asarray(q)))
+                use_fixed_grf=jnp.asarray(0.0), q_warm=jnp.asarray(q),
+                ground_z=jnp.asarray(gph)))
             qws.append(q)
         return pbatch.pad_and_stack_kinetic(kds, qws, n_frames=n_frames,
                                             dtype=dtype)

@@ -74,6 +74,19 @@ def foot_kinematics(q: np.ndarray, dq: np.ndarray,
         return np.asarray(pts[..., 2]), np.asarray(vel)
 
 
+def estimate_ground_height(q: np.ndarray, subject: SubjectParams) -> float:
+    """Ground elevation estimate for a trajectory: the minimum foot height.
+
+    The reference carries a hand-measured ``ground_plane_height`` per trial
+    in metadata.json (acinoset_opt.py:464-472) — AcinoSet world frames do
+    NOT put the ground at z=0 (2017 trials sit near +0.1 m, 2019 near
+    -0.1 m). For synthetic worlds derived from reference solutions the feet
+    graze the true ground during stance, so the minimum is an honest stand-in
+    for the measured value."""
+    z, _ = foot_kinematics(q, np.zeros_like(q), subject)
+    return float(np.min(z))
+
+
 def contact_detection(q: np.ndarray, dq: np.ndarray, subject: SubjectParams,
                       start_frame: int, speed: float, fps: float,
                       data_dir: Optional[str] = None,

@@ -71,6 +71,9 @@ class TrajectoryParams:
     kinetic_dataset: bool
     enable_shutter_delay_estimation: bool
     enable_ppms: bool
+    # metadata.json ground_plane_height (reference acinoset_opt.py:464-472,
+    # 500): the trial world frame's ground elevation — NOT 0 for AcinoSet
+    ground_plane_height: float = 0.0
 
 
 @dataclasses.dataclass
@@ -285,10 +288,15 @@ def init_trajectory(root_dir: str, data_path: str, cheetah_name: str,
     ground_plane_height = 0.0
     cam_idx = None
     sync_offset = None
-    if start_frame < 0 or end_frame < 0:
+    # the reference always reads metadata.json (acinoset_opt.py:464-472);
+    # explicit start/end frames only override the window, not the scene
+    # facts (sync offsets, ground elevation, monocular camera)
+    meta_path = os.path.join(data_dir, "metadata.json")
+    if start_frame < 0 or end_frame < 0 or os.path.exists(meta_path):
         meta = dio.load_metadata(data_dir)
-        start_frame = meta["start_frame"]
-        end_frame = meta["end_frame"]
+        if start_frame < 0 or end_frame < 0:
+            start_frame = meta["start_frame"]
+            end_frame = meta["end_frame"]
         sync_offset = meta.get("cam_sync")
         ground_plane_height = meta.get("ground_plane_height", 0.0)
         if monocular_enable:
@@ -304,7 +312,7 @@ def init_trajectory(root_dir: str, data_path: str, cheetah_name: str,
     params = TrajectoryParams(data_dir, start_frame, end_frame, total_length,
                               dlc_thresh, sync_offset, hand_labeled_data,
                               kinetic_dataset, shutter_delay_estimation,
-                              enable_ppm)
+                              enable_ppm, ground_plane_height)
     scene = Scene(scene_fpath, k_arr, d_arr, r_arr, t_arr, cam_res, fps,
                   n_cams, cam_idx)
     est = CheetahEstimator(cheetah_name, data_path, subject, params, scene,
@@ -550,7 +558,8 @@ def determine_contacts(est: CheetahEstimator, monocular: bool = False,
             if out_dir_prefix else est.params.data_dir)
     contacts, contacts_tmp = contacts_mod.contact_detection(
         d["q"], d["dq"], est.subject, est.params.start_frame, speed,
-        est.scene.fps, data_dir=base)
+        est.scene.fps, data_dir=base,
+        ground_plane_height=est.params.ground_plane_height)
     direction = 1.0 if avg_vel[0] < 0 else -1.0
     contacts_mod.synth_grf_data(speed, direction, os.path.join(base, "grf"))
     contacts_mod.synth_grf_data(speed, direction, os.path.join(base, "grf"),
@@ -639,7 +648,8 @@ def estimate_kinetics(est: CheetahEstimator,
                         grf_fixed=_jnp.asarray(grf_fixed),
                         grf_xy_fixed=_jnp.asarray(grf_xy_fixed),
                         use_fixed_grf=_jnp.asarray(use_fixed),
-                        q_warm=q_warm)
+                        q_warm=q_warm,
+                        ground_z=_jnp.asarray(p.ground_plane_height))
     cfg = kn.KineticConfig(
         fisheye=not p.kinetic_dataset, robust=not p.hand_labeled_data,
         use_gmm=use_gmm, kinetic_dataset=p.kinetic_dataset,
@@ -747,7 +757,8 @@ def estimate_grf(est: CheetahEstimator, out_dir_prefix: Optional[str] = None,
                         grf_xy_fixed=_jnp.zeros((N, 4, 4)),
                         use_fixed_grf=_jnp.asarray(0.0), q_warm=q_warm,
                         tau_anchor=_jnp.asarray(tau_prev),
-                        tau_anchor_weight=_jnp.asarray(anchor_w))
+                        tau_anchor_weight=_jnp.asarray(anchor_w),
+                        ground_z=_jnp.asarray(p.ground_plane_height))
     cfg = kn.KineticConfig(
         fisheye=not p.kinetic_dataset, robust=not p.hand_labeled_data,
         kinetic_dataset=p.kinetic_dataset, foot_height_bound=0.03,

@@ -23,6 +23,13 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 import pandas as pd
 
+# honor JAX_PLATFORMS for the CLI: the tunneled TPU plugin force-selects its
+# platform and ignores the env var, so pin it in-process before backend init
+if os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 from ..data import io as dio
 from ..data import synthetic as syn
 from ..models import params as params_mod
@@ -106,8 +113,10 @@ def materialize_synthetic_testset(root_dir: str, n_cams: int = 6,
                             subject_name=cheetah,
                             occlusion_rate=occlusion_rate,
                             confusion_rate=confusion_rate)
-        syn.write_trial_dir(tr, root_dir, data_path,
-                            monocular_cam=2)
+        from . import contacts as contacts_mod
+        syn.write_trial_dir(tr, root_dir, data_path, monocular_cam=2,
+                            ground_plane_height=contacts_mod.
+                            estimate_ground_height(q_gt, subject))
         # stash ground truth for scoring against the true synthetic GT
         with open(os.path.join(root_dir, data_path, "synthetic_gt.pickle"),
                   "wb") as f:
@@ -135,7 +144,10 @@ def materialize_synthetic_kinetic_testset(root_dir: str, n_cams: int = 4,
         tr = syn.synthesize(q_gt, subject, scene, noise_px=2.0,
                             outlier_frac=0.01, seed=seed + i,
                             subject_name=cheetah)
-        syn.write_trial_dir(tr, root_dir, data_path, monocular_cam=0)
+        from . import contacts as contacts_mod
+        syn.write_trial_dir(tr, root_dir, data_path, monocular_cam=0,
+                            ground_plane_height=contacts_mod.
+                            estimate_ground_height(q_gt, subject))
         with open(os.path.join(root_dir, data_path, "synthetic_gt.pickle"),
                   "wb") as f:
             pickle.dump({"q": q_gt, "positions": tr.markers_gt}, f)

@@ -62,6 +62,12 @@ class KineticData(NamedTuple):
     # numpy defaults (jnp would initialize the backend at import time)
     tau_anchor: jnp.ndarray = np.zeros((1, dyn.N_TAU))    # (N, 22) or (1, 22)
     tau_anchor_weight: jnp.ndarray = np.asarray(0.0)
+    # ground plane elevation (m): the reference reads it from metadata.json
+    # and sets Foot3D.ground_plane_height (acinoset_opt.py:464-472,500) — the
+    # AcinoSet world frames do NOT have the ground at z=0 (2017 trials sit
+    # near +0.1, 2019 near -0.1), so anchoring stance feet to z=0 drags the
+    # whole reconstruction off by the offset
+    ground_z: jnp.ndarray = np.asarray(0.0)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -293,7 +299,7 @@ class KineticFTE:
             # both the eliminated force and the foot kinematics
             pts = jax.vmap(
                 lambda qq: dyn.foot_points(qq, self.subject))(q)
-            hpos = jnp.maximum(pts[..., 2], 0.0)
+            hpos = jnp.maximum(pts[..., 2] - data.ground_z, 0.0)
             viol = jnp.maximum(gz * hpos - cfg.lcp_eps, 0.0)
             torque_cost = torque_cost + cfg.lcp_penalty * jnp.sum(
                 data.base.frame_valid[:, None] * viol * viol)
@@ -323,7 +329,7 @@ class KineticFTE:
         h = data.base.h
         pts = jax.vmap(lambda qq: dyn.foot_points(qq, self.subject))(q)
         fv = data.base.frame_valid
-        heights = pts[..., 2]                                   # (N, 4)
+        heights = pts[..., 2] - data.ground_z                   # (N, 4)
         hb = cfg.foot_height_bound
         hviol = jnp.maximum(jnp.abs(heights) - hb, 0.0)
         height_pen = cfg.foot_height_penalty * jnp.sum(
@@ -354,8 +360,10 @@ class KineticFTE:
         C_feet = C_all[:, idx, :]
         pts, Jf = jax.vmap(
             lambda qt: sk.points_and_jacobian_from_coeffs(qt, C_feet))(q)
-        # foot-height box: cost = w_h sum relu(|z| - hb)^2; GN = 2 w_h Jz^T Jz
-        hviol = jnp.maximum(jnp.abs(pts[..., 2]) - cfg.foot_height_bound, 0.0)
+        # foot-height box: cost = w_h sum relu(|z - gz| - hb)^2;
+        # GN = 2 w_h Jz^T Jz
+        hviol = jnp.maximum(jnp.abs(pts[..., 2] - data.ground_z)
+                            - cfg.foot_height_bound, 0.0)
         act_h = (hviol > 0).astype(dtype) * data.stance * fv[:, None]
         Jz = Jf[:, :, 2, :]                                     # (N, 4, 54)
         Hd = 2.0 * cfg.foot_height_penalty * jnp.einsum(
@@ -588,8 +596,9 @@ def stance_matrix(contacts: dict, start_frame: int, n_frames: int
 def prune_stance(stance: np.ndarray, q_warm: np.ndarray,
                  subject: SubjectParams, h: float,
                  max_median_speed: float = 4.0,
-                 foot_speed: Optional[np.ndarray] = None) -> np.ndarray:
-    """Drop physically impossible stance windows.
+                 foot_speed: Optional[np.ndarray] = None,
+                 max_edge_speed: float = 2.0) -> np.ndarray:
+    """Drop physically impossible stance windows and trim swing-phase edges.
 
     The heuristic detector (contact_detection) occasionally emits a window
     where the warm-start foot is travelling at gallop speed (e.g. a
@@ -597,6 +606,14 @@ def prune_stance(stance: np.ndarray, q_warm: np.ndarray,
     injects multi-1e5 penalties *at the true solution* and drags the physics
     stage away from it. A window whose median warm-start foot xy-speed
     exceeds ``max_median_speed`` (m/s; true stance is < 1) is removed.
+
+    The detector also places a fixed-length window (the Hudson stance-time
+    model) around each height minimum, which routinely overshoots touchdown/
+    liftoff by 1-2 frames — measured on the reference's dynamically
+    consistent fte_kinetic solutions, window interiors move at <=1.5 m/s
+    while the overshot edges swing at 4-7 m/s, so anchoring them injects
+    ~1e4 of no-slip/height penalty *at the true solution*. Edge frames whose
+    warm-start speed exceeds ``max_edge_speed`` are trimmed off.
 
     ``foot_speed`` (N, 4): precomputed xy speeds — pass them when foot
     kinematics were already evaluated batched (bench_lib/pipeline hot
@@ -622,4 +639,12 @@ def prune_stance(stance: np.ndarray, q_warm: np.ndarray,
         for run in splits:
             if np.median(v[run, f]) > max_median_speed:
                 out[run, f] = 0.0
+                continue
+            s_i, e_i = 0, len(run)
+            while s_i < e_i and v[run[s_i], f] > max_edge_speed:
+                s_i += 1
+            while e_i > s_i and v[run[e_i - 1], f] > max_edge_speed:
+                e_i -= 1
+            out[run[:s_i], f] = 0.0
+            out[run[e_i:], f] = 0.0
     return out

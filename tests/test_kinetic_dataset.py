@@ -95,6 +95,7 @@ def test_joint_estimation_grf_floor_and_lcp(tmp_path):
     # penalty, so assert the mean is small and the worst case bounded
     pts = np.asarray(jax.vmap(
         lambda qq: dyn.foot_points(qq, est.subject))(jnp.asarray(est.q)))
-    lcp = results_mod.check_lcp(est.grf_z, pts[..., 2])
+    lcp = results_mod.check_lcp(
+        est.grf_z, pts[..., 2] - est.params.ground_plane_height)
     assert lcp["mean_violation"] < 0.02, lcp
     assert lcp["max_violation"] < 0.3, lcp
