@@ -170,8 +170,12 @@ class TrajectoryTask:
 
         Hdiag = jnp.zeros((N, NQ, NQ), dtype)
         Hlower = jnp.zeros((kin.BANDWIDTH, N, NQ, NQ), dtype)
-        # EOM generalized-GN curvature
-        Hdiag, Hlower = self.fte._eom_curvature(q, self.data, Hdiag, Hlower)
+        # EOM exact-GN curvature blocks (recomputed at the live q: task
+        # solves move far from their starts, so no frozen-GN shortcut here)
+        ed, el1, el2 = self.fte.eom_curvature_blocks(q, self.data)
+        Hdiag = Hdiag + ed
+        Hlower = Hlower.at[0].add(el1)
+        Hlower = Hlower.at[1].add(el2)
         # torque quadratic: tau is an implicit function of q; its curvature
         # is folded into the EOM channel above (elimination), LM covers it.
         # state anchors (exact)

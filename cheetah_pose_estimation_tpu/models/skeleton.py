@@ -434,3 +434,90 @@ def relative_pose(q: jnp.ndarray) -> jnp.ndarray:
     q = jnp.asarray(q)
     A = jnp.asarray(A_REL, dtype=q.dtype)
     return jnp.einsum("ij,...j->...i", A, q)
+
+
+# ---------------------------------------------------------------------------
+# Joint-structure residuals (reference revolute / Hooke joints)
+# ---------------------------------------------------------------------------
+# The reference model connects every leg link by a revolute-about-y joint
+# (cheetah.py:71-73,101 add_revolute_joint) and the tail links by Hooke-yz
+# joints (cheetah.py:160-161 add_hookes_joint). Verified on the shipped
+# fte_kinetic solutions: for every leg pair the relative rotation
+# R_parent^T R_child IS a pure y-rotation to machine precision, and for the
+# tail pairs the (y,z) element of the relative rotation vanishes (Hooke
+# composition Ry then Rz). In Euler coordinates these constraints are
+# NONLINEAR — naive angle-difference rows are violated by up to pi at the
+# true solutions.
+REVOLUTE_PAIRS = (
+    ("bodyF", "UFL"), ("UFL", "LFL"), ("LFL", "HFL"),
+    ("bodyF", "UFR"), ("UFR", "LFR"), ("LFR", "HFR"),
+    ("base", "UBL"), ("UBL", "LBL"), ("LBL", "HBL"),
+    ("base", "UBR"), ("UBR", "LBR"), ("LBR", "HBR"),
+)
+HOOKE_PAIRS = (("base", "tail0"), ("tail0", "tail1"))
+N_JOINT_RES = 6 * len(REVOLUTE_PAIRS) + len(HOOKE_PAIRS)   # 74
+
+
+def project_joint_manifold(q: jnp.ndarray) -> jnp.ndarray:
+    """Chain-wise geometric projection onto the reference's joint manifold.
+
+    For each leg chain (parent body -> thigh -> calf -> hock) the child's
+    absolute rotation is replaced by parent_R @ Ry(theta*) with theta* the
+    best-fit pure pitch of the relative rotation (max trace alignment); the
+    tail links get the Hooke Ry(a) Rz(b) fit. Free links (base, bodyF,
+    neck) keep their raw rotations. Accepts (..., 54); base position and
+    free-link angles pass through.
+
+    Use this to move a trajectory solved WITHOUT the joint equalities onto
+    the manifold without the distortion of a penalty-driven least-squares
+    snap (which trades limb direction against the unobservable roll)."""
+    from ..ops.rotations import euler_zyx_inverse, rot_y, rot_z
+
+    ang = _angles_from_q(q)                           # (..., 17, 3)
+    R_raw = euler_zyx(ang)                            # (..., 17, 3, 3)
+    R_new = {i: R_raw[..., i, :, :] for i in range(N_LINKS)}
+    for a, b in REVOLUTE_PAIRS:
+        ia, ib = LINK_INDEX[a], LINK_INDEX[b]
+        Rp = R_new[ia]
+        Rrel = jnp.swapaxes(Rp, -1, -2) @ R_raw[..., ib, :, :]
+        th = jnp.arctan2(Rrel[..., 0, 2] - Rrel[..., 2, 0],
+                         Rrel[..., 0, 0] + Rrel[..., 2, 2])
+        R_new[ib] = Rp @ rot_y(th)
+    for a, b in HOOKE_PAIRS:
+        ia, ib = LINK_INDEX[a], LINK_INDEX[b]
+        Rp = R_new[ia]
+        Rrel = jnp.swapaxes(Rp, -1, -2) @ R_raw[..., ib, :, :]
+        bb = jnp.arctan2(Rrel[..., 1, 0], Rrel[..., 1, 1])
+        aa = jnp.arctan2(Rrel[..., 0, 2], Rrel[..., 2, 2])
+        R_new[ib] = Rp @ rot_y(aa) @ rot_z(bb)
+    ang_new = jnp.stack([euler_zyx_inverse(R_new[i])
+                         for i in range(N_LINKS)], axis=-2)
+    out = jnp.asarray(q).at[..., 3:6].set(ang_new[..., 0, :])
+    flat = ang_new[..., 1:, :].reshape(*ang_new.shape[:-2], -1)
+    out = out.at[..., 6:].set(flat)
+    # the Euler extraction wraps to (-pi, pi]; snap each coordinate to the
+    # 2pi-branch nearest its input value so trajectories stay continuous
+    two_pi = 2.0 * jnp.pi
+    q_in = jnp.asarray(q)
+    return out + two_pi * jnp.round((q_in - out) / two_pi)
+
+
+def joint_residuals(q_t: jnp.ndarray) -> jnp.ndarray:
+    """(54,) -> (74,) joint-structure residuals, zero on the reference's
+    joint manifold.
+
+    Per revolute pair: R_rel e_y - e_y and R_rel^T e_y - e_y (the joint
+    axis must be preserved in both frames); per Hooke pair: R_rel[1, 2]
+    (zero when the relative rotation composes as Ry(a) Rz(b))."""
+    ang = _angles_from_q(q_t)
+    R = euler_zyx(ang)                                     # (17, 3, 3)
+    ey = jnp.asarray([0.0, 1.0, 0.0], q_t.dtype)
+    out = []
+    for a, b in REVOLUTE_PAIRS:
+        Rrel = R[LINK_INDEX[a]].T @ R[LINK_INDEX[b]]
+        out.append(Rrel @ ey - ey)
+        out.append(Rrel.T @ ey - ey)
+    for a, b in HOOKE_PAIRS:
+        Rrel = R[LINK_INDEX[a]].T @ R[LINK_INDEX[b]]
+        out.append(Rrel[1, 2][None])
+    return jnp.concatenate(out)

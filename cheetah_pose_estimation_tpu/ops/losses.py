@@ -54,6 +54,17 @@ def fair(r: jnp.ndarray, c: float) -> jnp.ndarray:
     return c**2 * (a - jnp.log1p(a))
 
 
+def huber(r: jnp.ndarray, delta: float) -> jnp.ndarray:
+    """Quadratic core, linear tail — influence NEVER vanishes. Used by the
+    kinetic stage's measurement term: a redescending loss's plateau makes a
+    data-ignoring trajectory as cheap as the true one once the EOM term
+    dominates, so the solve can run away from the measurements entirely
+    (round-2 measured: MPE 0.3-0.9 m with the EOM at its floor); the linear
+    tail keeps a restoring gradient at any distance."""
+    a = jnp.abs(r)
+    return jnp.where(a <= delta, 0.5 * r * r, delta * (a - 0.5 * delta))
+
+
 def quadratic(e: jnp.ndarray) -> jnp.ndarray:
     return e * e  # reference hand-labeled branch: (w*slack)**2
 

@@ -37,6 +37,41 @@ def euler_zyx(angles: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([row0, row1, row2], axis=-2)
 
 
+def euler_zyx_inverse(R: jnp.ndarray) -> jnp.ndarray:
+    """(phi, theta, psi) Euler angles from R = Rz(psi) Ry(theta) Rx(phi).
+
+    Standard extraction; valid away from the theta = +-pi/2 gimbal lock
+    (the reference's own Euler parameterization shares the singularity, so
+    its trajectories stay clear of it)."""
+    theta = jnp.arctan2(-R[..., 2, 0],
+                        jnp.sqrt(R[..., 0, 0]**2 + R[..., 1, 0]**2))
+    phi = jnp.arctan2(R[..., 2, 1], R[..., 2, 2])
+    psi = jnp.arctan2(R[..., 1, 0], R[..., 0, 0])
+    return jnp.stack([phi, theta, psi], axis=-1)
+
+
+def rot_y(theta: jnp.ndarray) -> jnp.ndarray:
+    """(...,) -> (..., 3, 3) rotation about y."""
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    z = jnp.zeros_like(theta)
+    one = jnp.ones_like(theta)
+    return jnp.stack([
+        jnp.stack([c, z, s], axis=-1),
+        jnp.stack([z, one, z], axis=-1),
+        jnp.stack([-s, z, c], axis=-1)], axis=-2)
+
+
+def rot_z(psi: jnp.ndarray) -> jnp.ndarray:
+    """(...,) -> (..., 3, 3) rotation about z."""
+    c, s = jnp.cos(psi), jnp.sin(psi)
+    z = jnp.zeros_like(psi)
+    one = jnp.ones_like(psi)
+    return jnp.stack([
+        jnp.stack([c, -s, z], axis=-1),
+        jnp.stack([s, c, z], axis=-1),
+        jnp.stack([z, z, one], axis=-1)], axis=-2)
+
+
 def euler_rate_to_body_omega(angles: jnp.ndarray) -> jnp.ndarray:
     """Map matrix E(angles) with ``omega_body = E @ [dphi, dtheta, dpsi]``.
 

@@ -92,12 +92,20 @@ def contact_detection(q: np.ndarray, dq: np.ndarray, subject: SubjectParams,
                       data_dir: Optional[str] = None,
                       ground_plane_height: float = 0.0,
                       foot_kin: Optional[Tuple[np.ndarray, np.ndarray]]
-                      = None) -> Tuple[Dict, Dict]:
+                      = None,
+                      per_foot_relative: bool = False) -> Tuple[Dict, Dict]:
     """Heuristic stance detection (reference ``contact_detection``,
     acinoset_misc.py:745-856). Returns (contacts, contacts_tmp) and, when
     ``data_dir`` is given, writes grf/autogen-contact[-02].json.
     ``foot_kin`` optionally supplies precomputed (heights, velocities) so a
-    batch caller can evaluate the FK for many trials in one padded call."""
+    batch caller can evaluate the FK for many trials in one padded call.
+
+    ``per_foot_relative`` gates the height test against each foot's own
+    trajectory minimum instead of the calibrated plane — translation-
+    invariant timing for monocular warm starts whose depth error shifts
+    feet off the plane (the window *timing* comes from the height argmin +
+    velocity zero crossing, both translation-invariant; only the gate
+    needs a plane)."""
     stance_time_fe = round(STANCE_TIME_MODEL.predict(speed) * fps)
     mid_way = stance_time_fe // 2
     is_even = (stance_time_fe % 2) == 0
@@ -108,7 +116,9 @@ def contact_detection(q: np.ndarray, dq: np.ndarray, subject: SubjectParams,
     contacts_tmp: Dict[str, Optional[List]] = {}
     for i, name in enumerate(FOOT_NAMES):
         fh = heights[:, i]
-        arg_h = np.where(fh < (ground_plane_height + HEIGHT_THRESHOLD))[0]
+        gate = (float(fh.min()) if per_foot_relative
+                else ground_plane_height) + HEIGHT_THRESHOLD
+        arg_h = np.where(fh < gate)[0]
         groups = group_by_consecutive_values(arg_h)
         _, vel_crossings = positive_zero_crossings(vels[:, i, 2])
         contacts[name] = []

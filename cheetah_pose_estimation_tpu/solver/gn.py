@@ -28,7 +28,22 @@ class LMConfig(NamedTuple):
     lam_max: float = 1e10
     ftol: float = 1e-8   # relative cost decrease
     xtol: float = 0.0    # max |dq|
-    diag_floor: float = 1e-8
+    # Marquardt damping floor: lam multiplies max(diag(H), diag_floor).
+    # A scalar 1e-8 suffices when every coordinate carries real curvature;
+    # pass an (N, d) array to bound steps in *flat* directions (e.g. the
+    # kinetic stage's welded-joint coordinates, whose curvature is ~0.2
+    # while gradients reach ~200 — pure relative damping then allows
+    # ~70 rad trial steps whose true cost explodes, and LM stalls
+    # rejecting them; see KineticFTE.make_solver).
+    diag_floor: object = 1e-8
+    # trust-region cap on the trial step's inf-norm. The GN model of a
+    # rotation-heavy cost is only valid for fractions of a radian; in flat
+    # directions (zero model-error weight AND weak measurement curvature —
+    # e.g. limb-roll coordinates) relative damping cannot bound the step,
+    # and an exploding trial point burns the whole iteration budget on
+    # reject/re-damp cycles. inf = uncapped (kinematic stage: every
+    # coordinate carries curvature).
+    step_cap: float = float("inf")
     # "scan": sequential banded Cholesky over time (lowest FLOPs; the batch
     # axis provides the parallelism). "cr": block cyclic reduction — O(log N)
     # parallel depth for long trials / small batches (SURVEY §5/§7).
@@ -79,16 +94,32 @@ def _scaled_solve(g, H: banded.BlockBanded, lam, diag_floor,
     return y * s
 
 
-def _lm_step(s: LMState, cost_fn, normal_fn, config: LMConfig) -> LMState:
-    """One damped-GN attempt with Nielsen's gain-ratio damping update."""
+def _lm_step(s: LMState, cost_fn, normal_fn, config: LMConfig,
+             guard_fn=None, guard_cap=None) -> LMState:
+    """One damped-GN attempt with Nielsen's gain-ratio damping update.
+
+    ``guard_fn(q) -> scalar`` with ``guard_cap``: an additional acceptance
+    criterion in the spirit of IPOPT's filter line search — a trial point
+    whose guard value exceeds the cap is rejected even if the total cost
+    decreased. The kinetic stage guards the measurement+prior cost: its
+    EOM term dominates the objective by ~1e3-1e5, and with a saturating
+    robust loss a dynamics-feasible trajectory that IGNORES the data can
+    otherwise cost less than the true one (round-2 measured runaway:
+    MPE 0.3-0.9 m with the EOM at its floor).
+    """
     g, H = normal_fn(s.q)
     dq = _scaled_solve(g, H, s.lam, config.diag_floor, config.linear_solver)
+    if config.step_cap != float("inf"):
+        dq = dq * jnp.minimum(
+            1.0, config.step_cap / jnp.maximum(jnp.max(jnp.abs(dq)), 1e-30))
     qn = s.q + dq
     cn = cost_fn(qn)
     # predicted decrease under the quadratic model (H PSD => positive)
     pred = -(jnp.sum(g * dq) + 0.5 * jnp.sum(dq * banded.matvec(H, dq)))
     rho = (s.cost - cn) / jnp.maximum(pred, 1e-30)
     improved = cn < s.cost  # False for NaN -> reject
+    if guard_fn is not None:
+        improved = jnp.logical_and(improved, guard_fn(qn) <= guard_cap)
     accept = jnp.logical_and(improved, jnp.logical_not(s.done))
     q_new = jnp.where(accept, qn, s.q)
     cost_new = jnp.where(accept, cn, s.cost)
@@ -148,7 +179,9 @@ def lm_solve(cost_fn: Callable, normal_fn: Callable, q0: jnp.ndarray,
 def lm_solve_annealed(cost_fn: Callable, normal_fn: Callable,
                       q0: jnp.ndarray,
                       stages: Tuple[Tuple[float, int], ...],
-                      config: LMConfig = LMConfig()) -> LMState:
+                      config: LMConfig = LMConfig(),
+                      guard_fn: Callable = None,
+                      guard_cap=None) -> LMState:
     """Graduated-non-convexity LM in a single while_loop.
 
     ``cost_fn(q, scale)`` / ``normal_fn(q, scale)`` take the annealing scale
@@ -184,7 +217,8 @@ def lm_solve_annealed(cost_fn: Callable, normal_fn: Callable,
         nu = jnp.where(changed, jnp.asarray(2.0, s.nu.dtype), s.nu)
         s = s._replace(cost=cost, done=done, lam=lam, nu=nu)
         ns = _lm_step(s, lambda q: cost_fn(q, scale),
-                      lambda q: normal_fn(q, scale), config)
+                      lambda q: normal_fn(q, scale), config,
+                      guard_fn=guard_fn, guard_cap=guard_cap)
         # a stage that converged (or stalled) early fast-forwards to its
         # boundary so the next iteration enters the next stage; `done` must
         # be cleared with it, otherwise the loop condition would read
@@ -335,7 +369,9 @@ def lm_solve_scan(cost_fn: Callable, normal_fn: Callable, q0: jnp.ndarray,
 def lm_solve_annealed_scan(cost_fn: Callable, normal_fn: Callable,
                            q0: jnp.ndarray,
                            stages: Tuple[Tuple[float, int], ...],
-                           config: LMConfig = LMConfig()) -> LMState:
+                           config: LMConfig = LMConfig(),
+                           guard_fn: Callable = None,
+                           guard_cap=None) -> LMState:
     """Graduated-non-convexity LM as a fixed-length scan.
 
     Result-equivalent to :func:`lm_solve_annealed` when lanes use their full
@@ -367,7 +403,8 @@ def lm_solve_annealed_scan(cost_fn: Callable, normal_fn: Callable,
         nu = jnp.where(changed, jnp.asarray(2.0, s.nu.dtype), s.nu)
         s = s._replace(cost=cost, done=done, lam=lam, nu=nu)
         ns = _lm_step(s, lambda q: cost_fn(q, scale),
-                      lambda q: normal_fn(q, scale), config)
+                      lambda q: normal_fn(q, scale), config,
+                      guard_fn=guard_fn, guard_cap=guard_cap)
         return (ns, scale), None
 
     (final, _), _ = jax.lax.scan(body, (s0, scales[0]), None, length=total)

@@ -74,18 +74,64 @@ class KineticData(NamedTuple):
 class KineticConfig:
     fisheye: bool = True
     robust: bool = True
+    # measurement loss shape: "huber" keeps a restoring gradient at any
+    # distance from the data (see ops.losses.huber and KinematicConfig.loss)
+    meas_loss: str = "huber"
+    # filter-style acceptance guard (IPOPT filter line-search analog): a
+    # trial step whose measurement+prior cost exceeds meas_guard x the warm
+    # start's is rejected even if the total cost dropped — the EOM term
+    # dominates the objective, and without the guard a dynamics-feasible
+    # trajectory that ignores the data can cost less than the true one.
+    # 0 disables.
+    meas_guard: float = 2.0
     use_gmm: bool = False
     kinetic_dataset: bool = False
     limit_penalty: float = 1e5
     tikhonov: float = 1e-2
     curvature_floor: float = 1e-3
     eom_weight: float = 1e4          # 10e3 in reference units
+    # epsilon-insensitive EOM slack (body-weight units): |slack| below this
+    # is free. The reference bounds slack to +-2 BW (run_dataset.py:1208
+    # bound_eom_error) — "violations at this scale are acceptable" — and our
+    # closed-form engine shows a ~0.1-0.15 BW RMS residual floor *at the
+    # reference's own dynamically consistent solutions* (discretization +
+    # model mismatch). Without the deadband the 1e4 weight makes the solver
+    # chase residuals below that floor, trading reconstruction accuracy for
+    # pseudo-physics (measured: oracle-stance solves *degrade* their warm
+    # start MPJPE when eom_deadband=0).
+    eom_deadband: float = 2.0
+    # with eom_floor_relative, the deadband is per-coordinate:
+    # eom_deadband * EOM_SLACK_FLOOR[i] (models/noise.py) — tight on the
+    # limb equations (floor ~0.01-0.13 BW, where the reference's physics
+    # mode earns its MPJPE win) and forgiving only on the base translation
+    # bookkeeping (floor 0.34-0.53 BW)
+    eom_floor_relative: bool = True
+    # keep the kinematic constant-acceleration motion model active in the
+    # physics stage. The reference's quadratic slack penalty doubles as a
+    # high-frequency damper (any jitter needs torque or slack, both paid
+    # for); an epsilon-insensitive slack loses that damping, so the q-space
+    # acc model supplies it instead (measured: without it, deadbanded solves
+    # develop marker-acceleration energy 30-60x the ground truth's).
+    keep_acc_model: bool = False
     torque_weight: float = 1.0
     smooth_weight_scale: float = 0.1  # x fps^-2 on marker acceleration
     no_slip_penalty: float = 1e3
     foot_height_penalty: float = 1e4
     foot_height_bound: float = 0.1   # 0.03 kinetic dataset
     friction_coeff: float = 0.8
+    # joint-structure weld penalty (reference revolute/Hooke joints,
+    # cheetah.py:71-73,101,160-161): pins the 26 marker-unobservable
+    # relative roll/yaw coordinates the reference's dynamics model does not
+    # even have. Exact quadratic (curvature model error = 0), so LM treats
+    # it as a hard manifold.
+    weld_weight: float = 1e6
+    # GRF component bounds in body-weight units (reference Foot3D pyomo vars
+    # GRFz/GRFxy bounds=(0, 5.0), acinoset_opt.py:185-186). Without the cap
+    # the eliminated contact force is an unbounded fictitious-force channel:
+    # monocular depth wobble (~10+ BW of apparent base acceleration during
+    # stance) gets absorbed at the 1e-3 ridge's negligible cost instead of
+    # being corrected, and the physics stage leaves CoM velocity untouched.
+    grf_max: float = 5.0
     # prescribed-stance GRFz floor in body-weight units (reference
     # prescribe_contact_order min_GRFz, acinoset_misc.py:1143): a foot in a
     # prescribed stance window must carry at least this much load
@@ -111,15 +157,31 @@ class KineticFTE:
         self.subject = subject
         kcfg = kin.KinematicConfig(
             fisheye=config.fisheye, robust=config.robust,
+            loss=config.meas_loss,
             use_gmm=config.use_gmm, kinetic_dataset=config.kinetic_dataset,
             limit_penalty=config.limit_penalty, tikhonov=config.tikhonov,
             curvature_floor=config.curvature_floor,
-            cam_multipliers=config.cam_multipliers)
+            cam_multipliers=config.cam_multipliers,
+            # the kinetic stage carries its own weld term (_weld_cost);
+            # the inner kinematic config must not add a second copy
+            weld_weight=0.0)
         self._kin = kin.KinematicFTE(kcfg, subject)
         self.force_scale = subject.total_mass * dyn.GRAVITY
         self.cost = jax.jit(self._cost)
         self.normal = jax.jit(self._normal)
         self._solve_cache = {}
+
+    def _deadband(self, dtype) -> Optional[jnp.ndarray]:
+        """Per-coordinate (54,) or scalar epsilon-insensitive slack band,
+        None when disabled."""
+        cfg = self.config
+        if cfg.eom_deadband <= 0.0:
+            return None
+        if cfg.eom_floor_relative:
+            from ..models import noise as noise_tables
+            return jnp.asarray(cfg.eom_deadband
+                               * noise_tables.EOM_SLACK_FLOOR, dtype)
+        return jnp.asarray(cfg.eom_deadband, dtype)
 
     # ------------------------------------------------------------------
     # kinematic derivatives of the q-trajectory (implicit Euler, eliminated)
@@ -202,14 +264,30 @@ class KineticFTE:
         L = jnp.linalg.cholesky(As)
         return M, lhs_eff, A, Cg, gmask, sc, L
 
-    def _frame_eom_terms(self, q3: jnp.ndarray, data: KineticData,
-                         stance_t, grf_z_fix, grf_xy_fix,
-                         tau_anchor_t=None):
-        """EOM slack for one frame given (q[t-2], q[t-1], q[t]) stacked (3,54).
+    def _frame_solve(self, q3: jnp.ndarray, data: KineticData,
+                     stance_t, grf_z_fix, grf_xy_fix, tau_anchor_t=None):
+        """Per-frame elimination with a one-step active-set refinement.
 
-        Returns (slack (54,), tau (22,), grf_z (4,), grf_xy (4,4)).
+        Pass 1 solves the unconstrained reduced system and projects the GRF
+        onto its box/friction constraints (clip to [min_grf_z, grf_max],
+        [0, grf_max], cone scaling). Pass 2 fixes the projected components
+        at their bounds and RE-SOLVES the remaining free (tau, grf)
+        subsystem. The re-solve is what restores first-order optimality of
+        the eliminated variables: a merely clip-projected point is not a
+        KKT point of the box-constrained QP, so the envelope theorem fails
+        there and the outer autodiff gradient picks up large spurious
+        components through dz/dq (the round-2 measured symptom: EOM
+        gradients ~1e7 in link-rotation coordinates at loaded stance frames
+        against modeled curvature ~1e3 — LM thrash, no descent on gross
+        dynamics violations).
+
+        Returns (slack (54,), tau (22,), gz_out (4,), gxy_out (4,4),
+        aux = (A_act, sc2, L2, g_all)) with the pass-2 masked factorization
+        for the curvature projector and g_all the total applied force
+        components (free + bound-fixed + externally-fixed).
         """
         cfg = self.config
+        dtype = q3.dtype
         M, lhs_eff, A, Cg, gmask, sc, L = self._frame_system(
             q3, data, stance_t, grf_z_fix, grf_xy_fix)
         gmask_z = stance_t
@@ -219,45 +297,146 @@ class KineticFTE:
         rhs = we * (A.T @ lhs_eff)
         if tau_anchor_t is not None:
             rhs = rhs.at[:dyn.N_TAU].add(wa * tau_anchor_t)
-        z = sc * jax.scipy.linalg.cho_solve((L, True), sc * rhs)
-        tau = z[:dyn.N_TAU]
-        g = z[dyn.N_TAU:]
-        # projection: GRF nonnegative (with the prescribed-stance floor,
-        # reference min_GRFz), friction polyhedron
-        gz = jnp.maximum(g[:4], cfg.min_grf_z) * gmask_z * use_free_grf
-        gxy = jnp.maximum(g[4:].reshape(4, 4), 0.0) \
+        z0 = sc * jax.scipy.linalg.cho_solve((L, True), sc * rhs)
+        g0z = z0[dyn.N_TAU:dyn.N_TAU + 4]
+        g0xy = z0[dyn.N_TAU + 4:].reshape(4, 4)
+        # pass-1 projection: box + friction polyhedron
+        gz_c = jnp.clip(g0z, cfg.min_grf_z, cfg.grf_max) \
+            * gmask_z * use_free_grf
+        gxy_c = jnp.clip(g0xy, 0.0, cfg.grf_max) \
             * stance_t[:, None] * use_free_grf
-        cone = cfg.friction_coeff * gz / jnp.maximum(gxy.sum(axis=1), 1e-9)
-        gxy = gxy * jnp.minimum(cone, 1.0)[:, None]
-        gz_out = data.use_fixed_grf * grf_z_fix * gmask_z + gz
-        gxy_out = data.use_fixed_grf * grf_xy_fix * stance_t[:, None] + gxy
-        zproj = jnp.concatenate([
-            tau, jnp.concatenate([gz, gxy.reshape(16)]) ])
-        slack = lhs_eff - A @ zproj
+        cone = cfg.friction_coeff * gz_c / jnp.maximum(gxy_c.sum(axis=1),
+                                                       1e-9)
+        cs = jnp.minimum(cone, 1.0)
+        gxy_c = gxy_c * cs[:, None]
+        # free set: strictly-inside components of cone-feasible feet
+        cone_free = cs >= 1.0 - 1e-6                          # (4,)
+        free_z = ((g0z > cfg.min_grf_z) & (g0z < cfg.grf_max)
+                  & cone_free).astype(dtype) * gmask_z * use_free_grf
+        free_xy = ((g0xy > 0.0) & (g0xy < cfg.grf_max)
+                   & cone_free[:, None]).astype(dtype) \
+            * stance_t[:, None] * use_free_grf
+        free = jnp.concatenate([free_z, free_xy.reshape(16)])  # (20,)
+        g_fix = (1.0 - free) * jnp.concatenate([gz_c, gxy_c.reshape(16)])
+        col_act = jnp.concatenate([jnp.ones((dyn.N_TAU,), dtype), free])
+        A_act = A * col_act[None, :]
+        lhs2 = lhs_eff - Cg @ g_fix
+        wreg = jnp.concatenate([
+            jnp.full((dyn.N_TAU,), cfg.torque_weight, dtype) + wa,
+            jnp.full((20,), 1e-3, dtype)])
+        AtA2 = we * (A_act.T @ A_act) + jnp.diag(wreg)
+        sc2 = jax.lax.rsqrt(jnp.diagonal(AtA2))
+        bump = 128.0 * jnp.finfo(dtype).eps
+        As2 = AtA2 * sc2[:, None] * sc2[None, :] \
+            + bump * jnp.eye(AtA2.shape[0], dtype=dtype)
+        L2 = jnp.linalg.cholesky(As2)
+        rhs2 = we * (A_act.T @ lhs2)
+        if tau_anchor_t is not None:
+            rhs2 = rhs2.at[:dyn.N_TAU].add(wa * tau_anchor_t)
+        z2 = sc2 * jax.scipy.linalg.cho_solve((L2, True), sc2 * rhs2)
+        tau = z2[:dyn.N_TAU]
+        g2 = z2[dyn.N_TAU:] * free
+        # safety clip (a re-solved free component can exit its box; the
+        # residual envelope error is then second-order, not first-order)
+        g2 = jnp.concatenate([
+            jnp.clip(g2[:4], 0.0, cfg.grf_max),
+            jnp.clip(g2[4:], 0.0, cfg.grf_max)]) * free
+        g_tot = g2 + g_fix
+        slack = lhs_eff - A @ jnp.concatenate([tau, g_tot])
+        gz_out = data.use_fixed_grf * grf_z_fix * gmask_z + g_tot[:4]
+        gxy_out = data.use_fixed_grf * grf_xy_fix * stance_t[:, None] \
+            + g_tot[4:].reshape(4, 4)
+        zfix_ext = jnp.concatenate([grf_z_fix, grf_xy_fix.reshape(16)])
+        g_all = g_tot + data.use_fixed_grf * zfix_ext * gmask
+        return slack, tau, gz_out, gxy_out, (A_act, sc2, L2, g_all)
+
+    def _frame_eom_terms(self, q3: jnp.ndarray, data: KineticData,
+                         stance_t, grf_z_fix, grf_xy_fix,
+                         tau_anchor_t=None):
+        """EOM slack for one frame given (q[t-2], q[t-1], q[t]) stacked (3,54).
+
+        Returns (slack (54,), tau (22,), grf_z (4,), grf_xy (4,4)).
+        """
+        slack, tau, gz_out, gxy_out, _ = self._frame_solve(
+            q3, data, stance_t, grf_z_fix, grf_xy_fix, tau_anchor_t)
         return slack, tau, gz_out, gxy_out
 
-    def _frame_eom_curv(self, q3: jnp.ndarray, data: KineticData,
-                        stance_t, grf_z_fix, grf_xy_fix) -> jnp.ndarray:
-        """Reduced GN curvature kernel (54, 54) of the eliminated EOM term.
+    def _frame_projector(self, q3: jnp.ndarray, data: KineticData,
+                         stance_t, grf_z_fix, grf_xy_fix) -> jnp.ndarray:
+        """Symmetric PSD residual projector P = I - we A K A^T of the
+        per-frame (tau, grf) elimination: the effective EOM residual is
+        sqrt(we) P (lhs(q) - const), so P is the left factor of every GN
+        curvature kernel (K the inverse reduced normal matrix). Round-1 bug
+        history: using the full M^T M instead said the EOM resists motion in
+        *actuated* directions it does not actually resist — overestimating
+        curvature by ~we/ridge in ~34/54 directions and freezing the
+        optimizer on its warm start.
 
-        The per-frame elimination of (tau, grf) makes the effective residual
-        sqrt(we) * P (lhs(q) - const) with P = I - we A K A^T the oblique
-        projector onto the torque/GRF-unexplainable subspace (K the inverse
-        reduced normal matrix). Using the full M^T M here (round-1 bug) says
-        the EOM resists motion in *actuated* directions it does not actually
-        resist — overestimating curvature by ~we/ridge in ~34/54 directions
-        and freezing the optimizer on its warm start. The correct kernel is
-        (M/fs)^T P (M/fs), which the ddq stencil then spreads over frame
-        pairs (see _eom_curvature)."""
-        M, _, A, _, _, sc, L = self._frame_system(
-            q3, data, stance_t, grf_z_fix, grf_xy_fix)
+        The projector also honors the GRF bound projection: a force
+        component clipped at its bound (0 / min_grf_z / grf_max) is NOT a
+        free elimination direction, so its column leaves A before P is
+        formed. Otherwise the curvature says base motion is force-absorbable
+        while the exact gradient pushes with the full clipped residual —
+        a gradient/curvature inconsistency under which LM thrashes
+        (measured: a 15 mm measurement-invisible depth wobble, ~50 BW of
+        base EOM violation, was *not* descended and the pose was destroyed
+        instead). The active set and masked factorization come from the
+        pass-2 solve (_frame_solve), so projector and eliminated forces are
+        consistent by construction."""
         we = self.config.eom_weight
-        Asc = A * sc[None, :]
-        X = jax.scipy.linalg.cho_solve((L, True), Asc.T)      # (42, 54)
+        _, _, _, _, (A_act, sc2, L2, _) = self._frame_solve(
+            q3, data, stance_t, grf_z_fix, grf_xy_fix)
+        Asc = A_act * sc2[None, :]
+        X = jax.scipy.linalg.cho_solve((L2, True), Asc.T)     # (42, 54)
+        return jnp.eye(NQ, dtype=q3.dtype) - we * (Asc @ X)
+
+    def _frame_curv_channels(self, q3: jnp.ndarray, data: KineticData,
+                             stance_t, grf_z_fix, grf_xy_fix) -> jnp.ndarray:
+        """(3, 54, 54) projected EOM residual Jacobians P @ dF/dq_{t-a}.
+
+        F(q3) = (M(q_t) ddq + bias(q_t, dq_t)) / fs with implicit-Euler
+        dq/ddq stencils. ALL THREE channels are kept:
+          * the 1/h^2 mass channel (M x ddq stencil),
+          * the 1/h velocity channel dbias/ddq (Coriolis/centrifugal +
+            passive drag/damping),
+          * the direct channel d(M ddq + bias)/dq_t (gravity, configuration
+            dependence).
+        Round-2 measured failures when channels are dropped: without the
+        velocity channel, directions like a linear base drift have zero
+        ddq-stencil curvature but a large exact gradient through Coriolis
+        terms; without the force-column channel, link rotations at loaded
+        stance frames carry gradients ~1e7 (we * slack * dJ_foot/dtheta * z,
+        z up to grf_max) against diagonal curvature ~1e3. Either way the
+        damped normal step explodes along the uncovered direction
+        (|dq| ~ 2-4e3) and LM thrashes instead of descending a 50 BW EOM
+        violation."""
+        cfg = self.config
+        h = data.base.h
+        q_t = q3[2]
+        dq_t = (q3[2] - q3[1]) / h
+        ddq_t = (q3[2] - 2 * q3[1] + q3[0]) / h**2
+        M = dyn.mass_matrix(q_t, self.subject)
+        Cd = jax.jacfwd(
+            lambda dd: dyn.bias_terms(q_t, dd, self.subject))(dq_t)
+        D1 = jax.jacfwd(
+            lambda qq: dyn.mass_matrix(qq, self.subject) @ ddq_t
+            + dyn.bias_terms(qq, dq_t, self.subject))(q_t)
+        # force-column channel: slack = lhs - Btau tau - Cg(q) g_all with
+        # (tau, g_all) frozen at their eliminated optimum (GN). Btau is
+        # constant; Cg rotates with the links.
+        we = self.config.eom_weight
+        _, _, _, _, (A_act, sc2, L2, g_all) = self._frame_solve(
+            q3, data, stance_t, grf_z_fix, grf_xy_fix)
+        D2 = jax.jacfwd(
+            lambda qq: self._force_columns(qq) @ g_all)(q_t)
+        fs = self.force_scale
+        J0 = (M / h**2 + Cd / h + D1) / fs - D2     # d/dq_t
+        J1 = (-2.0 * M / h**2 - Cd / h) / fs        # d/dq_{t-1}
+        J2 = (M / h**2) / fs                        # d/dq_{t-2}
+        Asc = A_act * sc2[None, :]
+        X = jax.scipy.linalg.cho_solve((L2, True), Asc.T)
         P = jnp.eye(NQ, dtype=q3.dtype) - we * (Asc @ X)
-        Mfs = M / self.force_scale
-        MPM = Mfs.T @ (P @ Mfs)
-        return 0.5 * (MPM + MPM.T)
+        return jnp.stack([P @ J0, P @ J1, P @ J2])
 
     def _q3_stack(self, q: jnp.ndarray) -> jnp.ndarray:
         """(N, 3, 54): frames (t-2, t-1, t) with edge replication."""
@@ -276,7 +455,24 @@ class KineticFTE:
     # ------------------------------------------------------------------
     # cost terms
     # ------------------------------------------------------------------
-    def _physics_costs(self, q: jnp.ndarray, data: KineticData):
+    @staticmethod
+    def _eom_ramp(loss_scale) -> jnp.ndarray:
+        """Penalty-continuation ramp on the EOM slack weight, tied to the
+        robust-loss annealing scale: weight_eff = eom_weight / s^4 (s = 3
+        -> 1/81, s = 1 -> full). The reference enforces collocation as hard
+        constraints inside an interior-point method, whose barrier
+        continuation tightens feasibility gradually; a one-shot quadratic
+        penalty at full weight instead lets a grossly violated warm start's
+        ~1e8-scale EOM pull overwhelm the bounded-influence robust
+        measurement term, and the solve runs away from the data (round-2
+        measured: MPE 0.66 m with the EOM 'improved'). Ramping restores the
+        order: gross, measurement-invisible violations get fixed at low
+        weight while the measurements still hold the pose, then each
+        tightening starts near-feasible."""
+        return (1.0 / loss_scale) ** 4
+
+    def _physics_costs(self, q: jnp.ndarray, data: KineticData,
+                       loss_scale=1.0):
         cfg = self.config
         h = data.base.h
         q3 = self._q3_stack(q)
@@ -287,8 +483,13 @@ class KineticFTE:
             lambda q3t, st, gf, gxf, an: self._frame_eom_terms(
                 q3t, data, st, gf, gxf, an))(
             q3, data.stance, data.grf_fixed, data.grf_xy_fixed, anchor)
-        eom_cost = cfg.eom_weight * jnp.sum(
-            valid[:, None] * slack * slack)
+        db = self._deadband(q.dtype)
+        if db is not None:
+            sl = jnp.maximum(jnp.abs(slack) - db, 0.0)
+        else:
+            sl = slack
+        eom_cost = self._eom_ramp(loss_scale) * cfg.eom_weight * jnp.sum(
+            valid[:, None] * sl * sl)
         torque_cost = cfg.torque_weight * jnp.sum(
             valid[:, None] * tau * tau)
         anchor_cost = data.tau_anchor_weight * jnp.sum(
@@ -434,15 +635,30 @@ class KineticFTE:
         r = jnp.einsum("ij,tj->ti", A, q - data.q_warm)
         return jnp.sum(data.base.frame_valid[:, None] * M[None, :] * r * r)
 
+    def _weld_cost(self, q: jnp.ndarray, data: KineticData,
+                   loss_scale=1.0) -> jnp.ndarray:
+        """Quadratic pin of the reference's revolute/Hooke joint manifold
+        (sk.joint_residuals): the relative rotation of every leg pair must
+        be a pure y-rotation, tail pairs Hooke-yz. Nonlinear in Euler
+        coordinates — angle-difference rows are wrong by up to pi at the
+        reference's own solutions. Continuation-scaled like the EOM."""
+        r = jax.vmap(lambda qt: sk.joint_residuals(qt))(q)
+        return self._eom_ramp(loss_scale) * self.config.weld_weight \
+            * jnp.sum(data.base.frame_valid[:, None] * r * r)
+
     def _cost(self, q: jnp.ndarray, data: KineticData,
               loss_scale: jnp.ndarray = 1.0) -> jnp.ndarray:
         base_cost = self._kin._cost(q, data.base, loss_scale)
         # remove the kinematic const-acc model (not part of the kinetic
-        # objective; dynamics take its place)
-        acc = kin.acc_cost(q, data.base.h, data.base.acc_weight,
-                           data.base.frame_valid)
-        eom_cost, torque_cost, _ = self._physics_costs(q, data)
-        pen = self._stance_penalties(q, data)
+        # objective; dynamics take its place) — unless keep_acc_model
+        if self.config.keep_acc_model:
+            acc = jnp.zeros((), q.dtype)
+        else:
+            acc = kin.acc_cost(q, data.base.h, data.base.acc_weight,
+                               data.base.frame_valid)
+        eom_cost, torque_cost, _ = self._physics_costs(q, data, loss_scale)
+        pen = self._stance_penalties(q, data) \
+            + self._weld_cost(q, data, loss_scale)
         if self.config.use_2d_reprojections:
             extra = self._smooth_cost(q, data)
         else:
@@ -456,7 +672,8 @@ class KineticFTE:
         """Reference-scaled objective 1e-3*(meas + pose + prior + 1e4 slack)."""
         return 1e-3 * float(self.cost(q, data)
                             - self._kin._limit_cost(q, data.base.frame_valid)
-                            - self._stance_penalties(q, data))
+                            - self._stance_penalties(q, data)
+                            - self._weld_cost(q, data))
 
     def forces(self, q: jnp.ndarray, data: KineticData):
         """Solved per-frame (tau, grf_z, grf_xy) at the current q."""
@@ -466,57 +683,78 @@ class KineticFTE:
     # ------------------------------------------------------------------
     # normal equations
     # ------------------------------------------------------------------
-    def _eom_curvature(self, q: jnp.ndarray, data: KineticData,
-                       Hdiag: jnp.ndarray, Hlower: jnp.ndarray):
-        """Add the EOM term's generalized-GN curvature (dominant 1/h^2
-        channel): H ~ sum_t we (c_a c_b / h^4) M_t^T P_t M_t between frames
-        (t-a, t-b), with c the ddq stencil (q_t, q_{t-1}, q_{t-2}) and P_t
-        the per-frame elimination projector (see _frame_eom_curv)."""
+    def eom_curvature_blocks(self, q: jnp.ndarray, data: KineticData):
+        """Exact-GN banded blocks of the eliminated-EOM term at q.
+
+        Per residual frame r the projected Jacobians PJ[r, a] (a = offset to
+        q_{r-a}, see _frame_curv_channels) give block (r-a, r-b) the
+        contribution 2 we PJ[r,a]^T PJ[r,b] — a PSD assembly by
+        construction. With the epsilon-insensitive slack, rows inside the
+        deadband are masked out (their gradient is zero, so keeping their
+        stiffness would freeze measurement-driven motion).
+
+        The blocks depend on q only through (M, Coriolis, projector), all of
+        which vary slowly along an LM descent — so the production solver
+        computes them ONCE at the warm start and reuses them every
+        iteration (frozen Gauss-Newton: gradients stay exact, only the
+        quadratic model lags; this also removes the EOM curvature assembly
+        from the per-iteration hot path entirely).
+
+        Returns (Hdiag_add (N,54,54), Hl1_add, Hl2_add).
+        """
         cfg = self.config
         dtype = q.dtype
         N = q.shape[0]
-        h = data.base.h
         valid = self._eom_valid(data)
         q3 = self._q3_stack(q)
-        MtM = jax.vmap(
-            lambda q3t, st, gf, gxf: self._frame_eom_curv(
+        PJ = jax.vmap(
+            lambda q3t, st, gf, gxf: self._frame_curv_channels(
                 q3t, data, st, gf, gxf))(
-            q3, data.stance, data.grf_fixed, data.grf_xy_fixed) \
-            * (2.0 * cfg.eom_weight / h**4) * valid[:, None, None]
-        c = jnp.asarray([1.0, -2.0, 1.0], dtype)
-        # residual at frame r uses q[r-a] with coefficient c[a]
+            q3, data.stance, data.grf_fixed, data.grf_xy_fixed)  # (N,3,d,d)
+        db = self._deadband(dtype)
+        if db is not None:
+            anchor = jnp.broadcast_to(data.tau_anchor,
+                                      (q.shape[0], dyn.N_TAU))
+            slack, _, _, _ = jax.vmap(
+                lambda q3t, st, gf, gxf, an: self._frame_eom_terms(
+                    q3t, data, st, gf, gxf, an))(
+                q3, data.stance, data.grf_fixed, data.grf_xy_fixed, anchor)
+            act = (jnp.abs(slack) > db).astype(dtype)        # (N, 54)
+            PJ = PJ * act[:, None, :, None]
+        w = (2.0 * cfg.eom_weight) * valid                   # (N,)
+        Hd = jnp.zeros((N, NQ, NQ), dtype)
+        Hl = [jnp.zeros((N, NQ, NQ), dtype) for _ in range(2)]
         for a in range(3):
             for b in range(a, 3):
+                prod = jnp.einsum("r,rik,ril->rkl", w, PJ[:, a], PJ[:, b])
                 k = b - a
-                contrib = c[a] * c[b]
-                # block (r-a, r-b): lower band k, at column t=r-b
                 if k == 0:
-                    seg = jnp.zeros((N, NQ, NQ), dtype)
-                    seg = seg.at[: N - a].set(MtM[a:])
-                    Hdiag = Hdiag + contrib * seg
+                    Hd = Hd.at[: N - a].add(prod[a:])
                 else:
-                    seg = jnp.zeros((N, NQ, NQ), dtype)
-                    if N - b > 0:
-                        seg = seg.at[: N - b].set(MtM[b:])
-                    Hlower = Hlower.at[k - 1].add(contrib * seg)
-        return Hdiag, Hlower
+                    # block (r-a, r-b), lower band k, column t = r-b
+                    Hl[k - 1] = Hl[k - 1].at[: N - b].add(prod[b:])
+        return Hd, Hl[0], Hl[1]
 
     def _normal(self, q: jnp.ndarray, data: KineticData,
-                loss_scale: jnp.ndarray = 1.0):
+                loss_scale: jnp.ndarray = 1.0, eom_blocks=None):
         cfg = self.config
         dtype = q.dtype
         N = q.shape[0]
         g_base, H_base = self._kin._normal(q, data.base, loss_scale)
-        # subtract the kinematic const-acc quadratic (grad and curvature)
-        H_acc = kin.acc_banded(data.base.h, data.base.acc_weight,
-                               data.base.frame_valid)
-        g = g_base - banded.matvec(H_acc, q)
-        Hdiag = H_base.diag - H_acc.diag
-        Hlower = H_base.lower - H_acc.lower
+        if cfg.keep_acc_model:
+            g = g_base
+            Hdiag, Hlower = H_base.diag, H_base.lower
+        else:
+            # subtract the kinematic const-acc quadratic (grad and curvature)
+            H_acc = kin.acc_banded(data.base.h, data.base.acc_weight,
+                                   data.base.frame_valid)
+            g = g_base - banded.matvec(H_acc, q)
+            Hdiag = H_base.diag - H_acc.diag
+            Hlower = H_base.lower - H_acc.lower
 
         # exact gradients of the physics terms by reverse mode
         def phys(qq):
-            e, t, _ = self._physics_costs(qq, data)
+            e, t, _ = self._physics_costs(qq, data, loss_scale)
             return e + t
 
         g = g + jax.grad(phys)(q)
@@ -524,7 +762,24 @@ class KineticFTE:
             g = g + jax.grad(lambda qq: self._smooth_cost(qq, data))(q)
         g = g + jax.grad(lambda qq: self._stance_penalties(qq, data))(q)
 
-        Hdiag, Hlower = self._eom_curvature(q, data, Hdiag, Hlower)
+        # joint-structure weld: exact gradient + frame-local GN curvature
+        # 2w J^T J with J = d(joint_residuals)/dq_t, continuation-scaled
+        fv = data.base.frame_valid
+        rw = jax.vmap(lambda qt: sk.joint_residuals(qt))(q)    # (N, 74)
+        Jw = jax.vmap(jax.jacfwd(
+            lambda qt: sk.joint_residuals(qt)))(q)             # (N, 74, 54)
+        ww = 2.0 * cfg.weld_weight * self._eom_ramp(loss_scale)
+        g = g + ww * fv[:, None] * jnp.einsum("trj,tr->tj", Jw, rw)
+        Hdiag_w = ww * fv[:, None, None] \
+            * jnp.einsum("tri,trj->tij", Jw, Jw)
+
+        if eom_blocks is None:
+            eom_blocks = self.eom_curvature_blocks(q, data)
+        ed, el1, el2 = eom_blocks
+        ramp = self._eom_ramp(loss_scale)
+        Hdiag = Hdiag + ramp * ed + Hdiag_w
+        Hlower = Hlower.at[0].add(ramp * el1)
+        Hlower = Hlower.at[1].add(ramp * el2)
 
         # stance penalties: exact GN blocks (round 1 supplied only gradients,
         # so multi-1e9 penalty values produced wild steps the LM loop spent
@@ -550,7 +805,8 @@ class KineticFTE:
         return g, banded.BlockBanded(diag=Hdiag, lower=Hlower)
 
     # ------------------------------------------------------------------
-    def make_solver(self, stages=((3.0, 30), (1.0, 120)), ftol: float = 1e-9,
+    def make_solver(self, stages=((3.0, 40), (1.7, 40), (1.0, 100)),
+                    ftol: float = 1e-9,
                     lam0: float = 10.0, linear_solver: str = "scan",
                     driver: str = "while"):
         from . import gn as gn_mod
@@ -564,14 +820,39 @@ class KineticFTE:
             # TPU default bf16 products (same discipline as the kinematic
             # solver, see kinematic.make_solver)
             with jax.default_matmul_precision("highest"):
+                # frozen Gauss-Newton: the EOM curvature blocks are computed
+                # once at the warm start and reused across iterations
+                # (gradients stay exact; see eom_curvature_blocks)
+                blocks = self.eom_curvature_blocks(q0, data)
                 cost_fn = lambda qq, s: self._cost(qq, data, s)
-                normal_fn = lambda qq, s: self._normal(qq, data, s)
+                normal_fn = lambda qq, s: self._normal(
+                    qq, data, s, eom_blocks=blocks)
+                # damping floor at the kinematic const-acc curvature scale:
+                # flat directions (welded-joint coords) otherwise take
+                # ~70 rad trial steps under pure relative Marquardt damping
+                # (the kinematic stage carries this curvature in its model;
+                # the kinetic stage uses it for step control only)
+                H_acc = kin.acc_banded(data.base.h, data.base.acc_weight,
+                                       data.base.frame_valid)
+                floor = jnp.maximum(
+                    jnp.diagonal(H_acc.diag, axis1=-2, axis2=-1), 1e-8)
+                guard_fn, guard_cap = None, None
+                if self.config.meas_guard > 0.0:
+                    def guard_fn(qq):
+                        return self._kin._cost(qq, data.base, 1.0) \
+                            - kin.acc_cost(qq, data.base.h,
+                                           data.base.acc_weight,
+                                           data.base.frame_valid)
+                    guard_cap = self.config.meas_guard * guard_fn(q0) \
+                        + 10.0 * q0.shape[0]
                 solver = (gn_mod.lm_solve_annealed_scan if driver == "scan"
                           else gn_mod.lm_solve_annealed)
                 return solver(
                     cost_fn, normal_fn, q0, stages,
                     gn_mod.LMConfig(ftol=ftol, lam0=lam0,
-                                    linear_solver=linear_solver))
+                                    diag_floor=floor, step_cap=0.25,
+                                    linear_solver=linear_solver),
+                    guard_fn=guard_fn, guard_cap=guard_cap)
 
         run_jit = jax.jit(run)
         self._solve_cache[key] = run_jit
