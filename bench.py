@@ -188,14 +188,16 @@ def main():
             rec = np.asarray(sk.fk_markers(kqs[i, :n], subject))
             kmpes.append(np.mean(np.linalg.norm(rec - tr.markers_gt,
                                                 axis=2)) * 1e3)
-        # Quality gate is *relative*: the physics stage must not degrade the
-        # kinematic reconstruction it warm-starts from (measured behavior on
-        # the corrupted synthetic set: physics lands at or slightly below
-        # the default mode's error — the reference's MPJPE ordering — while
-        # its MPE is within noise of the warm start, matching the
-        # reference's own physics-vs-data-driven MPE relation, BASELINE.md).
+        # Quality gate: the physics stage must not degrade the kinematic
+        # reconstruction it warm-starts from. With the joint-manifold weld
+        # the warm starts are already near-dynamics-consistent, so the
+        # kinetic stage converges to a strict-but-small improvement
+        # (measured on the corrupted synthetic set: MPJPE -0.1..-0.2 mm,
+        # CoM-velocity RMSE -0.02 m/s); 1.02x leaves room for per-trial
+        # noise while still catching any regression to the round-1
+        # "physics makes it worse" behavior.
         ok = bool(np.all(np.isfinite(kqs))) \
-            and np.mean(kmpes) < 1.05 * np.mean(mpes)
+            and np.mean(kmpes) < 1.02 * np.mean(mpes)
         print(f"# physics: compile={phys_compile_s:.1f}s host={host_s:.1f}s "
               f"run={phys_s*1e3:.0f}ms MPE={np.mean(kmpes):.0f}mm ok={ok}",
               file=sys.stderr)
