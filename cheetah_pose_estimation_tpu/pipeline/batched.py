@@ -58,6 +58,7 @@ def run_monocular_batched(root_dir: str, dir_prefix: str,
                           data_driven_dataset: Optional[str] = None,
                           dtype=jnp.float32,
                           motion_prior_rolling: int = 0,
+                          prior_guard_ratio: float = 1.10,
                           mesh: Optional[object] = None,
                           verbose: bool = True) -> Dict[str, float]:
     # float32 is the throughput configuration: the kinematic solver is
@@ -114,15 +115,39 @@ def run_monocular_batched(root_dir: str, dir_prefix: str,
             if mesh is not None:
                 batched = pbatch.shard_batch(batched, mesh)
                 q0b = jax.device_put(q0b)
+            prior_ok = np.ones(len(ests), bool)
+            q_free_np = None
             if use_priors:
-                # bootstrap the AR anchors from one prior-free vmapped
-                # solve + empirical-Bayes weight shrinkage (see
-                # estimator.estimate_kinematics — init-anchored AR degrades
-                # MPJPE under correlated DLC corruption)
-                boot = kin.KinematicFTE(
+                # bootstrap chain + per-trial prior-confidence gate (see
+                # estimator.estimate_kinematics for the measurements):
+                # prior-free vmapped solve -> GMM-constrained refinement
+                # warm-started from it -> accept per trial iff the
+                # refinement's PRIOR-FREE cost stays within
+                # prior_guard_ratio of the prior-free solve's (rejected
+                # trials ship the prior-free solution: the learned manifold
+                # contradicts their measurements, e.g. gallop-trained GMM
+                # on "flick" behavior). AR anchors come from the accepted
+                # bootstrap + empirical-Bayes weight shrinkage.
+                free = kin.KinematicFTE(
                     kin.KinematicConfig(fisheye=True, robust=True), subject)
-                qb = jax.jit(jax.vmap(boot.make_solver()))(q0b, batched).q
+                st_free = jax.jit(jax.vmap(free.make_solver()))(q0b, batched)
+                chain = kin.KinematicFTE(
+                    kin.KinematicConfig(fisheye=True, robust=True,
+                                        use_gmm=True), subject)
+                st_chain = jax.jit(jax.vmap(chain.make_solver()))(
+                    st_free.q, batched)
+                vcost = jax.jit(jax.vmap(
+                    lambda q, d: free._cost(q, d, 1.0)))
+                c_free = np.asarray(vcost(st_free.q, batched), np.float64)
+                c_chain = np.asarray(vcost(st_chain.q, batched), np.float64)
+                prior_ok = c_chain <= prior_guard_ratio * c_free
+                if verbose and not prior_ok.all():
+                    print(f"[batched] prior gate: {int(prior_ok.sum())}/"
+                          f"{len(ests)} trials accept the pose prior")
+                qb = jnp.where(jnp.asarray(prior_ok)[:, None, None],
+                               st_chain.q, st_free.q)
                 qb_np = np.asarray(qb, np.float64)
+                q_free_np = np.asarray(st_free.q, np.float64)
                 ypreds, ws, valids = [], [], []
                 fv = np.asarray(batched.frame_valid)
                 for i in range(len(ests)):
@@ -164,7 +189,9 @@ def run_monocular_batched(root_dir: str, dir_prefix: str,
             qs = np.asarray(state.q, np.float64)
             for i, est in enumerate(ests):
                 n = est.data.meas.shape[0]
-                est.q = qs[i, :n]
+                # prior-gated trials ship the prior-free solution
+                est.q = (qs[i, :n] if prior_ok[i]
+                         else q_free_np[i, :n])
                 est.obj_cost = float(fte.objective(
                     jnp.asarray(est.q), est.data))
                 est.opt_time_s = (time.time() - t0) / max(len(ests), 1)

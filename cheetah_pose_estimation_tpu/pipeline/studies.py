@@ -117,19 +117,35 @@ def run_grid_search_batched(root_dir: str, dir_prefix: str, test_set: Tuple,
         c: dict(mpe=[], mpjpe=[]) for c in configs}
     for subject_name, ests in groups.items():
         subject = params_mod.get_subject(subject_name)
-        # one prior-free bootstrap solve per trial group: its solutions
-        # anchor the AR prior for every configuration (see
-        # estimator.estimate_kinematics)
-        boot_datas = [est.data for _, est in ests]
+        # one production bootstrap chain per trial group (prior-free solve
+        # -> 5-component GMM refinement, gated per trial — see
+        # estimator.estimate_kinematics): its solutions anchor the AR
+        # prior for every configuration. The sweep varies the priors of
+        # the FINAL solve; a shared bootstrap keeps the anchors
+        # comparable across configurations.
+        gp_boot = gmm_mod.to_solver_prior(gmm_mod.fit(
+            prior_ds.load_pose_dataset(dset).iloc[:, 6:28].to_numpy(),
+            n_components=5, seed=42,
+            cache_dir=data_ops.prior_cache_dir(dset)))
+        boot_datas = [est.data._replace(gmm=gp_boot) for _, est in ests]
         boot_q0s = [est.q0 for _, est in ests]
         nfb = int(np.ceil(max(d.meas.shape[0]
                               for d in boot_datas) / 16) * 16)
         bbat, bq0 = pbatch.pad_and_stack(boot_datas, boot_q0s, n_frames=nfb,
                                          dtype=dtype)
-        boot = kin.KinematicFTE(
+        free = kin.KinematicFTE(
             kin.KinematicConfig(fisheye=True, robust=True), subject)
-        qb_np = np.asarray(jax.jit(jax.vmap(boot.make_solver()))(
-            bq0, bbat).q, np.float64)
+        st_free = jax.jit(jax.vmap(free.make_solver()))(bq0, bbat)
+        chain = kin.KinematicFTE(
+            kin.KinematicConfig(fisheye=True, robust=True, use_gmm=True),
+            subject)
+        st_chain = jax.jit(jax.vmap(chain.make_solver()))(st_free.q, bbat)
+        vcost = jax.jit(jax.vmap(lambda q, d: free._cost(q, d, 1.0)))
+        c_free = np.asarray(vcost(st_free.q, bbat), np.float64)
+        c_chain = np.asarray(vcost(st_chain.q, bbat), np.float64)
+        prior_ok = jnp.asarray(c_chain <= 1.10 * c_free)[:, None, None]
+        qb_np = np.asarray(jnp.where(prior_ok, st_chain.q, st_free.q),
+                           np.float64)
         x_boots = [np.asarray(sk.relative_pose(qb_np[i]))
                    for i in range(len(ests))]
         datas, q0s, metasets = [], [], []
@@ -384,10 +400,14 @@ def run_degradation_sweep(rates: Tuple[float, ...] = (0.0, 1.0, 2.0, 4.0,
     trajs = bench_lib.load_reference_trajectories(10)
     fte_def = kin.KinematicFTE(
         kin.KinematicConfig(fisheye=True, robust=True), subject)
+    fte_gmm = kin.KinematicFTE(
+        kin.KinematicConfig(fisheye=True, robust=True, use_gmm=True),
+        subject)
     fte_dd = kin.KinematicFTE(
         kin.KinematicConfig(fisheye=True, robust=True, use_gmm=True,
                             use_ar=True), subject)
     vdef = jax.jit(jax.vmap(fte_def.make_solver()))
+    vgmm = jax.jit(jax.vmap(fte_gmm.make_solver()))
     vdd = jax.jit(jax.vmap(fte_dd.make_solver()))
 
     def mpjpe(qs, gts):
@@ -416,8 +436,16 @@ def run_degradation_sweep(rates: Tuple[float, ...] = (0.0, 1.0, 2.0, 4.0,
         bat, q0b = pbatch.pad_and_stack(datas, q0s, n_frames=n_frames,
                                         dtype=jnp.float32)
         q_def = vdef(q0b, bat).q
-        # bootstrap-anchored adaptive AR (the production dd path)
-        qd_np = np.asarray(q_def, np.float64)
+        # production dd path (estimator.estimate_kinematics): GMM chain
+        # warm-started from the prior-free solve + the per-trial
+        # prior-confidence gate; gated trials ship the prior-free solution
+        q_chain = vgmm(q_def, bat).q
+        vcost = jax.jit(jax.vmap(lambda q, d: fte_def._cost(q, d, 1.0)))
+        c_free = np.asarray(vcost(q_def, bat), np.float64)
+        c_chain = np.asarray(vcost(q_chain, bat), np.float64)
+        prior_ok = jnp.asarray(c_chain <= 1.10 * c_free)[:, None, None]
+        q_boot = jnp.where(prior_ok, q_chain, q_def)
+        qd_np = np.asarray(q_boot, np.float64)
         ypreds, ws, valids = [], [], []
         fv = np.asarray(bat.frame_valid)
         with host_cpu():
@@ -433,7 +461,7 @@ def run_degradation_sweep(rates: Tuple[float, ...] = (0.0, 1.0, 2.0, 4.0,
             jnp.asarray(np.stack(ypreds), jnp.float32),
             jnp.asarray(np.stack(ws), jnp.float32),
             jnp.asarray(np.stack(valids), jnp.float32)))
-        q_dd = vdd(q_def, bat_dd).q
+        q_dd = jnp.where(prior_ok, vdd(q_boot, bat_dd).q, q_def)
         row = dict(rate=rate, default_mpjpe=round(mpjpe(q_def, gts), 1),
                    dd_mpjpe=round(mpjpe(q_dd, gts), 1))
         row["improvement_pct"] = round(
