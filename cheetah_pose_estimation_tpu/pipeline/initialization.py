@@ -146,6 +146,13 @@ def smooth_and_head(spine: np.ndarray, linear: bool = False):
             for i in range(3)], axis=1)
     d = np.gradient(sm[:, :2], axis=0)
     psi = np.pi + np.arctan2(d[:, 1], d[:, 0])
+    # atan2's branch cut: a heading near 0 (mod 2pi) flips psi by 2pi
+    # between adjacent frames — FK-identical, but it injects ~2pi*fps of
+    # fake yaw rate into the constant-acceleration motion model and the
+    # solver starts in (and can stay in) a wound-up basin. Unwrap along
+    # time and re-center on the principal branch.
+    psi = np.unwrap(psi)
+    psi -= 2.0 * np.pi * np.round(np.median(psi) / (2.0 * np.pi))
     return sm, psi
 
 

@@ -240,3 +240,20 @@ def test_scan_driver_equivalent():
     np.testing.assert_allclose(np.asarray(st_scan.q),
                                np.asarray(st_while.q), atol=1e-8)
     assert int(st_scan.it) == int(st_while.it) == 28
+
+
+def test_heading_unwrap_no_branch_flips():
+    """A heading near 0 (mod 2pi) must not produce 2pi psi jumps between
+    frames (the atan2 branch cut): trial 2017_09_02/bottom/jules/run2 runs
+    at yaw ~ 0 and the wrapped init injected ~2pi*fps of fake yaw rate,
+    collapsing the multi-view solve into a wound-up local minimum
+    (round-2 regression: MPJPE 510 mm from init vs 22 mm from GT)."""
+    from cheetah_pose_estimation_tpu.pipeline import initialization as init
+    N = 40
+    x = 4.0 + 0.1 * np.arange(N)
+    y = 1e-4 * np.sin(np.arange(N))      # heading oscillates about -x axis
+    spine = np.stack([x, y, 0.6 * np.ones(N)], axis=1)
+    sm, psi = init.smooth_and_head(spine)
+    assert np.abs(np.diff(psi)).max() < 1.0, psi
+    # principal branch: the unwrapped heading stays near 0, not 2pi
+    assert np.abs(np.median(psi)) < np.pi + 0.5
