@@ -100,6 +100,60 @@ def pad_and_stack(datas: Sequence[KinematicData],
         return batched, q0b
 
 
+# Monocular basin-escape restarts: heading (yaw) offsets added to q0[:, 5].
+# The single-view heading init (ray init + spine-direction smoothing,
+# pipeline/initialization.py) can land exactly on a knife-edge local minimum
+# of the redescending measurement cost — measured on the synthetic
+# 2017_08_29/top/jules/run1_1 trial: the unperturbed init converges to a
+# basin with 48x the cost (MPJPE 227 mm vs 38 mm), while EVERY +-0.2..0.4 rad
+# heading nudge escapes it. Restarts are pure extra batch on the same
+# vmapped solve (the TPU analog of IPOPT multi-start folklore), and the
+# argmin-final-cost pick is a per-trial reduction.
+HEADING_RESTARTS: Tuple[float, ...] = (0.0, 0.3, -0.3)
+
+
+def multistart(run, q0b, batched,
+               offsets: Tuple[float, ...] = HEADING_RESTARTS):
+    """Solve every trial of the batch from ``len(offsets)`` heading-perturbed
+    inits and keep the argmin-final-cost restart per trial.
+
+    ``run(q0, data) -> LMState`` is a single-trial solver (as returned by
+    ``KinematicFTE.make_solver``); the restart axis is vmapped on top of the
+    trial axis, so the whole multistart is ONE jitted solve of an R x B
+    batch. Use only for monocular problems — multi-view solves are
+    well-posed and single-start.
+    """
+    offs = tuple(float(o) for o in offsets)
+
+    def solve_all(q0b, batched):
+        q0r = jnp.stack([q0b.at[:, :, 5].add(o) for o in offs])
+        st = jax.vmap(lambda q0s: jax.vmap(run)(q0s, batched))(q0r)
+        best = jnp.argmin(st.cost, axis=0)                      # (B,)
+
+        def pick(x):
+            idx = best.reshape((1,) + best.shape + (1,) * (x.ndim - 2))
+            return jnp.take_along_axis(x, idx, axis=0)[0]
+
+        return jax.tree.map(pick, st)
+
+    return jax.jit(solve_all)(q0b, batched)
+
+
+def multistart_single(run, q0, data,
+                      offsets: Tuple[float, ...] = HEADING_RESTARTS):
+    """Single-trial multistart (serial pipeline): vmap over the restart
+    axis only, argmin-cost pick on the host."""
+    offs = tuple(float(o) for o in offsets)
+
+    def solve_all(q0, data):
+        q0s = jnp.stack([q0.at[:, 5].add(o) for o in offs])
+        st = jax.vmap(run, in_axes=(0, None))(q0s, data)
+        best = jnp.argmin(st.cost)
+        return jax.tree.map(lambda x: x[best], st)
+
+    return jax.jit(solve_all)(jnp.asarray(q0), data)
+
+
 def trial_mesh(n_devices: Optional[int] = None,
                devices: Optional[List] = None) -> Mesh:
     """1-D device mesh over the trial (data-parallel) axis."""

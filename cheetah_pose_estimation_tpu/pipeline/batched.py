@@ -130,7 +130,9 @@ def run_monocular_batched(root_dir: str, dir_prefix: str,
                 # bootstrap + empirical-Bayes weight shrinkage.
                 free = kin.KinematicFTE(
                     kin.KinematicConfig(fisheye=True, robust=True), subject)
-                st_free = jax.jit(jax.vmap(free.make_solver()))(q0b, batched)
+                # monocular heading multistart (parallel/batch.py): the
+                # restart axis is just more batch for the same vmapped solve
+                st_free = pbatch.multistart(free.make_solver(), q0b, batched)
                 chain = kin.KinematicFTE(
                     kin.KinematicConfig(fisheye=True, robust=True,
                                         use_gmm=True), subject)
@@ -169,7 +171,13 @@ def run_monocular_batched(root_dir: str, dir_prefix: str,
             fte = kin.KinematicFTE(cfg, subject)
             run = fte.make_solver()
             vrun = jax.jit(jax.vmap(run))
-            state = vrun(q0b, batched)
+            if monocular and not use_priors:
+                # default monocular mode solves cold from the init — basin
+                # escape via heading multistart. The data-driven mode warm
+                # starts from the (multistarted) bootstrap chain instead.
+                state = pbatch.multistart(run, q0b, batched)
+            else:
+                state = vrun(q0b, batched)
             if use_priors and motion_prior_rolling > 0:
                 # lagged true-AR refinement: recompute the anchor
                 # predictions from the current solutions and re-solve

@@ -35,6 +35,7 @@ from ..models import noise as noise_tables
 from ..models import params as params_mod
 from ..models import skeleton as sk
 from ..ops import camera as cam_ops
+from ..parallel import batch as pbatch
 from ..priors import armodel, gmm as gmm_mod
 from ..solver import kinematic as kin
 from . import initialization as init_mod
@@ -431,6 +432,7 @@ def estimate_kinematics(est: CheetahEstimator,
     use_ar = use_priors and not disable_motion_prior
     data = est.data
     prior_ok = True
+    boot_ran = bool(use_gmm or use_ar)
     if use_gmm or use_ar:
         dset = data_driven_dataset or DATA_DRIVEN_DATASET
         if use_gmm:
@@ -462,7 +464,10 @@ def estimate_kinematics(est: CheetahEstimator,
             cam_multipliers=(1.0, 1.0, 0.6, 0.6)
             if p.kinetic_dataset else ())
         boot = kin.KinematicFTE(base_cfg, est.subject)
-        st_free = boot.make_solver()(jnp.asarray(q0), data)
+        # monocular heading multistart (parallel/batch.py): escapes
+        # knife-edge init basins at the cost of extra (vmapped) batch
+        st_free = pbatch.multistart_single(boot.make_solver(),
+                                           jnp.asarray(q0), data)
         q_boot = st_free.q
         if use_gmm:
             chain_cfg = dataclasses.replace(base_cfg, use_gmm=True)
@@ -505,7 +510,12 @@ def estimate_kinematics(est: CheetahEstimator,
     fte = kin.KinematicFTE(cfg, est.subject)
     est.fte = fte
     run = fte.make_solver()
-    state = run(jnp.asarray(q0), data)
+    if scene.cam_idx is not None and not boot_ran:
+        # cold monocular default solve: heading multistart (basin escape);
+        # prior modes warm start from the multistarted bootstrap instead
+        state = pbatch.multistart_single(run, jnp.asarray(q0), data)
+    else:
+        state = run(jnp.asarray(q0), data)
     if use_shutter:
         # joint (q, tau) refinement: the per-camera delays are solver
         # unknowns coupled to the trajectory through a bordered banded

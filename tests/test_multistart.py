@@ -1,0 +1,54 @@
+"""Heading-multistart helpers: restart fan-out + per-trial argmin pick."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cheetah_pose_estimation_tpu.parallel import batch as pbatch
+from cheetah_pose_estimation_tpu.solver.gn import LMState
+
+
+def _stub_run(target):
+    """Solver stub: 'converges' to its init (restarts stay distinguishable)
+    with a cost that rewards heading closeness to ``target``."""
+
+    def run(q0, data):
+        cost = jnp.sum((q0[:, 5] - target) ** 2) + data["bias"]
+        z = jnp.zeros(())
+        return LMState(q=q0, cost=cost, lam=z, nu=z, it=z, done=z,
+                       n_accepted=z)
+
+    return run
+
+
+def test_multistart_picks_argmin_per_trial():
+    B, N = 3, 4
+    q0b = jnp.zeros((B, N, 54))
+    data = {"bias": jnp.arange(B, dtype=jnp.float32)}
+    # target heading 0.3 -> the +0.3 restart must win for every trial
+    st = pbatch.multistart(_stub_run(0.3), q0b, data,
+                           offsets=(0.0, 0.3, -0.3))
+    assert st.q.shape == (B, N, 54)
+    np.testing.assert_allclose(np.asarray(st.q[:, :, 5]), 0.3, atol=1e-6)
+    # per-trial cost keeps the trial's own bias (gather is per-trial)
+    np.testing.assert_allclose(np.asarray(st.cost), np.arange(B), atol=1e-6)
+
+
+def test_multistart_no_worse_than_single_start():
+    B, N = 2, 4
+    q0b = jnp.zeros((B, N, 54))
+    data = {"bias": jnp.zeros(B)}
+    run = _stub_run(-0.3)
+    st_ms = pbatch.multistart(run, q0b, data, offsets=(0.0, 0.3, -0.3))
+    st_ss = jax.vmap(run)(q0b, data)
+    assert np.all(np.asarray(st_ms.cost) <= np.asarray(st_ss.cost) + 1e-6)
+
+
+def test_multistart_single_matches_batched_pick():
+    N = 5
+    q0 = jnp.zeros((N, 54))
+    data = {"bias": jnp.asarray(0.0)}
+    st = pbatch.multistart_single(_stub_run(0.3), q0, data,
+                                  offsets=(0.0, 0.3, -0.3))
+    assert st.q.shape == (N, 54)
+    np.testing.assert_allclose(np.asarray(st.q[:, 5]), 0.3, atol=1e-6)
+    assert float(st.cost) < 1e-6
