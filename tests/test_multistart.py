@@ -43,6 +43,24 @@ def test_multistart_no_worse_than_single_start():
     assert np.all(np.asarray(st_ms.cost) <= np.asarray(st_ss.cost) + 1e-6)
 
 
+def test_multistart_margin_keeps_unperturbed_on_near_tie():
+    """An alternative restart within the cost margin must NOT displace the
+    unperturbed init (near-ties are ambiguity, not basin escapes)."""
+    B, N = 2, 4
+
+    def run(q0, data):
+        # offset 0 -> cost 1.0; any perturbed restart -> cost 0.995 (0.5%
+        # better, inside the 1% margin) via a heading-dependent dip
+        cost = 1.0 - 0.005 * jnp.minimum(jnp.abs(q0[0, 5]) / 0.3, 1.0)
+        z = jnp.zeros(())
+        return LMState(q=q0, cost=cost, lam=z, nu=z, it=z, done=z,
+                       n_accepted=z)
+
+    st = pbatch.multistart(run, jnp.zeros((B, N, 54)), {"unused": jnp.zeros(B)},
+                           offsets=(0.0, 0.3, -0.3))
+    np.testing.assert_allclose(np.asarray(st.q[:, :, 5]), 0.0, atol=1e-6)
+
+
 def test_multistart_single_matches_batched_pick():
     N = 5
     q0 = jnp.zeros((N, 54))
