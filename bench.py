@@ -131,8 +131,10 @@ def main():
     B = q0b.shape[0]
 
     # ---- stage 1: default kinematic FTE (batched) -------------------------
+    # heading multistart (parallel/batch.py) is the production default path:
+    # the restart axis is extra batch on the same vmapped solve
     fte = kin.KinematicFTE(kin.KinematicConfig(), subject)
-    vrun = jax.jit(jax.vmap(fte.make_solver()))
+    vrun = pbatch.make_multistart(fte.make_solver())
     t0 = time.time()
     st = vrun(q0b, batched)
     st.q.block_until_ready()
@@ -172,16 +174,28 @@ def main():
         host_s = time.time() - t_host0
         kfte = kn.KineticFTE(kn.KineticConfig(use_gmm=True), subject)
         kvrun = jax.jit(jax.vmap(kfte.make_solver()))
+        # the kinetic GN assembly's jacfwd intermediates scale with batch;
+        # B=10 x N=64 compiles to a >HBM allocation on the 16 GB v5e, so the
+        # batch runs in two waves of 5 (the production pipeline batches by
+        # subject group, <= 6 trials, and never hits this) — one compile,
+        # both waves timed
+        CH = 5
+
+        def run_chunks():
+            outs = [kvrun(q_warm_b[i:i + CH],
+                          jax.tree.map(lambda x: x[i:i + CH], kbat))
+                    for i in range(0, B, CH)]
+            jax.block_until_ready(outs)
+            return outs
+
         t0 = time.time()
-        kst = kvrun(q_warm_b, kbat)
-        kst.q.block_until_ready()
+        ksts = run_chunks()
         phys_compile_s = time.time() - t0
         t0 = time.time()
         for _ in range(reps):
-            kst = kvrun(q_warm_b, kbat)
-            kst.q.block_until_ready()
+            ksts = run_chunks()
         phys_s = (time.time() - t0) / reps
-        kqs = np.asarray(kst.q, np.float64)
+        kqs = np.concatenate([np.asarray(s.q, np.float64) for s in ksts])
         kmpes = []
         for i, tr in enumerate(trials):
             n = tr.q_gt.shape[0]

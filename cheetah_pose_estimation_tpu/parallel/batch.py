@@ -136,12 +136,13 @@ def _pick_restart(st, margin: float):
     return jax.tree.map(pick, st)
 
 
-def multistart(run, q0b, batched,
-               offsets: Tuple[float, ...] = HEADING_RESTARTS,
-               margin: float = MULTISTART_MARGIN):
-    """Solve every trial of the batch from ``len(offsets)`` heading-perturbed
-    inits and keep the best restart per trial (margin rule above).
+def make_multistart(run,
+                    offsets: Tuple[float, ...] = HEADING_RESTARTS,
+                    margin: float = MULTISTART_MARGIN):
+    """Build a reusable jitted multistart solver ``ms(q0b, batched)``.
 
+    Solves every trial of the batch from ``len(offsets)`` heading-perturbed
+    inits and keeps the best restart per trial (margin rule above).
     ``run(q0, data) -> LMState`` is a single-trial solver (as returned by
     ``KinematicFTE.make_solver``); the restart axis is vmapped on top of the
     trial axis, so the whole multistart is ONE jitted solve of an R x B
@@ -149,13 +150,30 @@ def multistart(run, q0b, batched,
     well-posed and single-start. ``offsets[0]`` must be the unperturbed 0.
     """
     offs = tuple(float(o) for o in offsets)
+    R = len(offs)
 
+    @jax.jit
     def solve_all(q0b, batched):
-        q0r = jnp.stack([q0b.at[:, :, 5].add(o) for o in offs])
-        st = jax.vmap(lambda q0s: jax.vmap(run)(q0s, batched))(q0r)
+        B = q0b.shape[0]
+        # flatten the restart axis into the batch axis: ONE plain vmap of
+        # R*B trials (a nested vmap-of-vmap compiles ~10x slower here)
+        q0r = jnp.concatenate([q0b.at[:, :, 5].add(o) for o in offs])
+        rep = jax.tree.map(
+            lambda x: jnp.tile(x, (R,) + (1,) * (x.ndim - 1)), batched)
+        st = jax.vmap(run)(q0r, rep)
+        st = jax.tree.map(
+            lambda x: x.reshape((R, B) + x.shape[1:]), st)
         return _pick_restart(st, margin)
 
-    return jax.jit(solve_all)(q0b, batched)
+    return solve_all
+
+
+def multistart(run, q0b, batched,
+               offsets: Tuple[float, ...] = HEADING_RESTARTS,
+               margin: float = MULTISTART_MARGIN):
+    """One-shot :func:`make_multistart` (compiles per call — for repeated
+    solves of the same shapes keep the ``make_multistart`` callable)."""
+    return make_multistart(run, offsets, margin)(q0b, batched)
 
 
 def multistart_single(run, q0, data,
