@@ -685,6 +685,10 @@ def main(argv=None):
     parser.add_argument("--run_analysis", action="store_true")
     parser.add_argument("--run_grid_search", action="store_true")
     parser.add_argument("--run_degradation_sweep", action="store_true")
+    parser.add_argument("--sweep_physics", action="store_true",
+                        help="add a physics-based column to the degradation "
+                             "sweep (kinetic FTE warm-started from each "
+                             "rate's data-driven solution)")
     parser.add_argument("--run_data_driven_ablation_study",
                         action="store_true")
     parser.add_argument("--run_physics_based_ablation_study",
@@ -755,7 +759,8 @@ def main(argv=None):
         results_mod.data_driven_analysis(args.out_dir_prefix)
     if args.run_degradation_sweep:
         from . import studies
-        studies.run_degradation_sweep(out_dir=args.out_dir_prefix)
+        studies.run_degradation_sweep(out_dir=args.out_dir_prefix,
+                                      include_physics=args.sweep_physics)
     if args.run_data_driven_ablation_study:
         from . import studies
         studies.run_data_driven_ablation_study(args.root_dir,

@@ -366,6 +366,8 @@ def run_degradation_sweep(rates: Tuple[float, ...] = (0.0, 1.0, 2.0, 4.0,
                           n_frames: int = 64,
                           data_driven_dataset: Optional[str] = None,
                           out_dir: Optional[str] = None,
+                          include_physics: bool = False,
+                          max_trials: int = 10,
                           verbose: bool = True) -> pd.DataFrame:
     """Monocular default vs data-driven across correlated-DLC corruption
     levels (occlusion bursts at ``rate``, limb confusion at ``0.6 * rate``
@@ -374,7 +376,16 @@ def run_degradation_sweep(rates: Tuple[float, ...] = (0.0, 1.0, 2.0, 4.0,
     priors: i.i.d. pixel noise alone never produces the
     confident-but-wrong failures that make them win (the reference's
     motivation, acinoset_misc.py:291-336,680-714). Writes
-    ``degradation_sweep.csv``."""
+    ``degradation_sweep.csv``.
+
+    With ``include_physics`` a third column runs the physics-based FTE
+    (joint torque/GRF estimation, reference estimate_kinetics,
+    acinoset_opt.py:693-963) warm-started from each rate's data-driven
+    solution — the headroom argument for the dynamics: on near-clean data
+    the welded multistarted warm starts are already dynamics-consistent
+    and physics is quality-neutral, while under heavy correlated
+    corruption the warm start degrades and the EOM/torque/contact terms
+    recover reconstruction accuracy the cameras cannot."""
     import jax
     import jax.numpy as jnp
 
@@ -397,7 +408,7 @@ def run_degradation_sweep(rates: Tuple[float, ...] = (0.0, 1.0, 2.0, 4.0,
         mm = armodel.train_motion_model(
             dset, window_size=4, lasso=True,
             cache_dir=data_ops.prior_cache_dir(dset))
-    trajs = bench_lib.load_reference_trajectories(10)
+    trajs = bench_lib.load_reference_trajectories(max_trials)
     fte_def = kin.KinematicFTE(
         kin.KinematicConfig(fisheye=True, robust=True), subject)
     fte_gmm = kin.KinematicFTE(
@@ -409,6 +420,12 @@ def run_degradation_sweep(rates: Tuple[float, ...] = (0.0, 1.0, 2.0, 4.0,
     vdef = jax.jit(jax.vmap(fte_def.make_solver()))
     vgmm = jax.jit(jax.vmap(fte_gmm.make_solver()))
     vdd = jax.jit(jax.vmap(fte_dd.make_solver()))
+    kvrun = None
+    if include_physics:
+        from ..solver import kinetic as kn
+        from . import contacts as contacts_mod
+        kfte = kn.KineticFTE(kn.KineticConfig(use_gmm=True), subject)
+        kvrun = jax.jit(jax.vmap(kfte.make_solver()))
 
     def mpjpe(qs, gts):
         out = []
@@ -426,13 +443,17 @@ def run_degradation_sweep(rates: Tuple[float, ...] = (0.0, 1.0, 2.0, 4.0,
     rows = []
     for rate in rates:
         datas, q0s, gts = [], [], []
+        datas_plain, q_gts, fpss = [], [], []
         for i, (q_gt, name, fps) in enumerate(trajs):
             d, q0, tr = bench_lib.build_monocular_problem(
                 q_gt, "acinoset", fps, seed=i, cam_idx=2,
                 occlusion_rate=rate, confusion_rate=0.6 * rate)
             datas.append(d._replace(gmm=gp))
+            datas_plain.append(d)
             q0s.append(q0)
             gts.append(tr.markers_gt)
+            q_gts.append(tr.q_gt)
+            fpss.append(fps)
         bat, q0b = pbatch.pad_and_stack(datas, q0s, n_frames=n_frames,
                                         dtype=jnp.float32)
         q_def = vdef(q0b, bat).q
@@ -467,11 +488,36 @@ def run_degradation_sweep(rates: Tuple[float, ...] = (0.0, 1.0, 2.0, 4.0,
         row["improvement_pct"] = round(
             100.0 * (1 - row["dd_mpjpe"] / max(row["default_mpjpe"], 1e-9)),
             1)
+        if include_physics:
+            qdd64 = np.asarray(q_dd, np.float64)
+            qs_dd = [qdd64[i, : g.shape[0]] for i, g in enumerate(gts)]
+            with host_cpu():
+                gphs = [contacts_mod.estimate_ground_height(qg, subject)
+                        for qg in q_gts]
+            kbat, q_warm_b = bench_lib.build_physics_batch(
+                datas_plain, qs_dd, fpss, subject, n_frames=n_frames,
+                dtype=jnp.float32, ground_heights=gphs)
+            # the kinetic GN assembly's jacfwd intermediates exceed the v5e
+            # HBM at B=10 x N=64 — run in waves of 5 (see bench.py)
+            B = q_warm_b.shape[0]
+            kqs = []
+            for i in range(0, B, 5):
+                st = kvrun(q_warm_b[i:i + 5],
+                           jax.tree.map(lambda x: x[i:i + 5], kbat))
+                kqs.append(np.asarray(st.q, np.float64))
+            q_phys = np.concatenate(kqs)
+            row["physics_mpjpe"] = round(mpjpe(q_phys, gts), 1)
+            row["physics_vs_dd_pct"] = round(
+                100.0 * (1 - row["physics_mpjpe"]
+                         / max(row["dd_mpjpe"], 1e-9)), 1)
         rows.append(row)
         if verbose:
-            print(f"[sweep] rate={rate}: default {row['default_mpjpe']} "
-                  f"dd {row['dd_mpjpe']} ({row['improvement_pct']}%)",
-                  flush=True)
+            msg = (f"[sweep] rate={rate}: default {row['default_mpjpe']} "
+                   f"dd {row['dd_mpjpe']} ({row['improvement_pct']}%)")
+            if include_physics:
+                msg += (f" physics {row['physics_mpjpe']} "
+                        f"({row['physics_vs_dd_pct']}% vs dd)")
+            print(msg, flush=True)
     out = pd.DataFrame(rows)
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
