@@ -26,7 +26,12 @@ TRIAL_AXIS = "trials"
 
 def _pad_to(x: np.ndarray, n: int, axis: int = 0) -> np.ndarray:
     pad = n - x.shape[axis]
-    if pad <= 0:
+    if pad < 0:
+        raise ValueError(
+            f"trial dimension {x.shape[axis]} exceeds the requested padded "
+            f"size {n} (axis {axis}); pass n_frames/n_cams >= the longest "
+            "trial (padding never truncates)")
+    if pad == 0:
         return x
     width = [(0, 0)] * x.ndim
     width[axis] = (0, pad)

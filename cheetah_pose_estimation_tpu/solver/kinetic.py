@@ -147,6 +147,14 @@ class KineticConfig:
     # reprojection term with a weighted 3D tracking cost against the
     # kinematic warm start (kinematic_cost, acinoset_misc.py:531-598)
     use_2d_reprojections: bool = True
+    # frame-chunk size for the one-shot EOM curvature assembly
+    # (eom_curvature_blocks): the per-frame jacfwd of (M, bias, force
+    # columns) materializes ~54-tangent FK intermediates, and a full
+    # vmap over B x N frames exceeds the 16 GB v5e HBM at B=10 x N=64.
+    # lax.map(batch_size=chunk) sequences the assembly in frame chunks —
+    # peak memory drops by N/chunk while the (off-hot-loop, run-once)
+    # assembly stays vectorized within a chunk. 0 = unchunked vmap.
+    curv_chunk: int = 8
 
 
 class KineticFTE:
@@ -707,10 +715,16 @@ class KineticFTE:
         N = q.shape[0]
         valid = self._eom_valid(data)
         q3 = self._q3_stack(q)
-        PJ = jax.vmap(
-            lambda q3t, st, gf, gxf: self._frame_curv_channels(
-                q3t, data, st, gf, gxf))(
-            q3, data.stance, data.grf_fixed, data.grf_xy_fixed)  # (N,3,d,d)
+        curv = lambda q3t, st, gf, gxf: self._frame_curv_channels(
+            q3t, data, st, gf, gxf)
+        if cfg.curv_chunk > 0:
+            PJ = jax.lax.map(lambda xs: curv(*xs),
+                             (q3, data.stance, data.grf_fixed,
+                              data.grf_xy_fixed),
+                             batch_size=cfg.curv_chunk)          # (N,3,d,d)
+        else:
+            PJ = jax.vmap(curv)(
+                q3, data.stance, data.grf_fixed, data.grf_xy_fixed)
         db = self._deadband(dtype)
         if db is not None:
             anchor = jnp.broadcast_to(data.tau_anchor,
