@@ -417,7 +417,12 @@ def run_degradation_sweep(rates: Tuple[float, ...] = (0.0, 1.0, 2.0, 4.0,
     fte_dd = kin.KinematicFTE(
         kin.KinematicConfig(fisheye=True, robust=True, use_gmm=True,
                             use_ar=True), subject)
-    vdef = jax.jit(jax.vmap(fte_def.make_solver()))
+    # production monocular path: the prior-free solve runs the heading
+    # multistart (parallel/batch.py — restarts as extra batch, argmin pick),
+    # matching run_monocular/bench; the GMM chain and the dd refinement are
+    # warm-started from an already-converged trajectory, so they stay
+    # single-start
+    vdef = pbatch.make_multistart(fte_def.make_solver())
     vgmm = jax.jit(jax.vmap(fte_gmm.make_solver()))
     vdd = jax.jit(jax.vmap(fte_dd.make_solver()))
     kvrun = None
