@@ -76,7 +76,18 @@ def cholesky(H: BlockBanded) -> BlockBanded:
     The carry holds the previous B block-rows of L; boundary rows use identity
     diagonal placeholders (multiplied by structurally-zero H blocks, so they
     never contaminate the result).
+
+    All matmuls in this module run at "highest" precision regardless of the
+    caller's context: on TPU the f32 default is bf16 passes, which is fine
+    for the cost/residual evaluations around the solver but corrupts the
+    factorizations themselves (measured: the CR path returned steps 10%
+    off when benchmarked outside the solver's precision scope).
     """
+    with jax.default_matmul_precision("highest"):
+        return _cholesky(H)
+
+
+def _cholesky(H: BlockBanded) -> BlockBanded:
     N, B, d = H.nblocks, H.bandwidth, H.block
     dtype = H.diag.dtype
     eye = jnp.eye(d, dtype=dtype)
@@ -125,6 +136,11 @@ def cholesky(H: BlockBanded) -> BlockBanded:
 
 def solve_factored(L: BlockBanded, b: jnp.ndarray) -> jnp.ndarray:
     """Solve L L^T x = b given the banded Cholesky factor. b: (N, d)."""
+    with jax.default_matmul_precision("highest"):
+        return _solve_factored(L, b)
+
+
+def _solve_factored(L: BlockBanded, b: jnp.ndarray) -> jnp.ndarray:
     N, B, d = L.nblocks, L.bandwidth, L.block
     dtype = L.diag.dtype
 
@@ -216,25 +232,30 @@ def _tridiagonalize(H: BlockBanded, b: jnp.ndarray
     return A, C, bs
 
 
-def _cr_solve_tridiag(A: jnp.ndarray, C: jnp.ndarray,
-                      b: jnp.ndarray) -> jnp.ndarray:
-    """Block cyclic reduction for an SPD block-tridiagonal system.
+def _chol_solve_batched(L, X):
+    y = solve_triangular(L, X, lower=True)
+    return solve_triangular(L, y, lower=True, trans=1)
 
-    Solves  C_i x_{i-1} + A_i x_i + C_{i+1}^T x_{i+1} = b_i  (C[0] = 0).
-    Each level eliminates the odd-indexed blocks with batched Cholesky
-    solves — O(log M) levels of large batched matmuls instead of an O(M)
-    sequential scan, the parallel-in-time factorization strategy for long
-    trials (SURVEY §5/§7: cyclic reduction over the time axis).
 
-    The eliminated diagonal blocks are Schur complements of an SPD matrix,
-    so every level stays SPD and Cholesky-factorizable.
+def _cr_factor_tridiag(A: jnp.ndarray, C: jnp.ndarray):
+    """Cyclic-reduction factorization of an SPD block-tridiagonal system.
+
+    The system is  C_i x_{i-1} + A_i x_i + C_{i+1}^T x_{i+1} = b_i
+    (C[0] = 0). Each level eliminates the odd-indexed blocks with batched
+    Cholesky solves — O(log M) levels of large batched matmuls instead of an
+    O(M) sequential scan, the parallel-in-time factorization strategy for
+    long trials (SURVEY §5/§7: cyclic reduction over the time axis). The
+    eliminated diagonal blocks are Schur complements of an SPD matrix, so
+    every level stays SPD and Cholesky-factorizable.
+
+    Returns (levels, L0): per level the (Co, Cr, Ce, Lo) blocks that the
+    O(M D^2) substitution pass needs, and the final 1-block factor —
+    factorization is separated from substitution so a solve can be repeated
+    on a new right-hand side (iterative refinement) without the O(M D^3)
+    matmul work.
     """
     M, D = A.shape[0], A.shape[-1]
     dtype = A.dtype
-
-    def chol_solve(L, X):
-        y = solve_triangular(L, X, lower=True)
-        return solve_triangular(L, y, lower=True, trans=1)
 
     levels = []
     while M > 1:
@@ -242,40 +263,55 @@ def _cr_solve_tridiag(A: jnp.ndarray, C: jnp.ndarray,
             A = jnp.concatenate(
                 [A, jnp.eye(D, dtype=dtype)[None]], axis=0)
             C = jnp.concatenate([C, jnp.zeros((1, D, D), dtype)], axis=0)
-            b = jnp.concatenate([b, jnp.zeros((1, D), dtype)], axis=0)
             M += 1
-        Ao, Co, bo = A[1::2], C[1::2], b[1::2]          # odd i = 2j+1
-        Ae, Ce, be = A[0::2], C[0::2], b[0::2]          # even i = 2j (kept)
+        Ao, Co = A[1::2], C[1::2]                       # odd i = 2j+1
+        Ae, Ce = A[0::2], C[0::2]                       # even i = 2j (kept)
         K = M // 2
         Lo = jnp.linalg.cholesky(Ao)                    # (K, D, D)
         # right-neighbor coupling of odd 2j+1 is C_{2j+2}; none for i = M-1
         Cr = jnp.concatenate([Ce[1:], jnp.zeros((1, D, D), dtype)], axis=0)
-        # A_o^{-1} [C_o, C_r^T, b_o] in one batched triangular solve pair
-        rhs = jnp.concatenate(
-            [Co, jnp.swapaxes(Cr, -1, -2), bo[..., None]], axis=-1)
-        sol = jax.vmap(chol_solve)(Lo, rhs)
+        # A_o^{-1} [C_o, C_r^T] in one batched triangular solve pair
+        rhs = jnp.concatenate([Co, jnp.swapaxes(Cr, -1, -2)], axis=-1)
+        sol = jax.vmap(_chol_solve_batched)(Lo, rhs)
         Gi = sol[..., :D]                               # G_j = A^{-1} C_{2j+1}
-        Hi = sol[..., D:2 * D]                          # H_j = A^{-1} C_{2j+2}^T
-        yi = sol[..., -1]                               # y_j = A^{-1} b_{2j+1}
+        Hi = sol[..., D:]                               # H_j = A^{-1} C_{2j+2}^T
         # elimination of x_{2j+1} = y_j - G_j x_{2j} - H_j x_{2j+2} into the
         # kept rows; the left odd neighbor of kept 2j is index j-1 (shift by 1)
         Hl = jnp.concatenate([jnp.zeros((1, D, D), dtype), Hi[:-1]], axis=0)
         Gl = jnp.concatenate([jnp.zeros((1, D, D), dtype), Gi[:-1]], axis=0)
-        yl = jnp.concatenate([jnp.zeros((1, D), dtype), yi[:-1]], axis=0)
         CoT = jnp.swapaxes(Co, -1, -2)
         A_new = Ae - Ce @ Hl - CoT @ Gi
         C_new = -(Ce @ Gl)
-        b_new = be - jnp.einsum("kij,kj->ki", Ce, yl) \
-            - jnp.einsum("kij,kj->ki", CoT, yi)
-        levels.append((Co, Cr, Lo, bo))
-        A, C, b = A_new, C_new, b_new
+        levels.append((Co, Cr, Ce, Lo))
+        A, C = A_new, C_new
         M = K
 
     L0 = jnp.linalg.cholesky(A[0])
+    return levels, L0
+
+
+def _cr_apply(levels, L0, b: jnp.ndarray) -> jnp.ndarray:
+    """Substitution pass of the CR factorization: O(M D^2) per call."""
+    dtype = b.dtype
+    # downward: eliminate odd entries from the rhs level by level
+    bos = []
+    for Co, Cr, Ce, Lo in levels:
+        if b.shape[0] % 2 == 1:
+            b = jnp.concatenate(
+                [b, jnp.zeros((1, b.shape[-1]), dtype)], axis=0)
+        bo, be = b[1::2], b[0::2]
+        yi = jax.vmap(_chol_solve_batched)(Lo, bo[..., None])[..., 0]
+        yl = jnp.concatenate([jnp.zeros((1, b.shape[-1]), dtype), yi[:-1]],
+                             axis=0)
+        CoT = jnp.swapaxes(Co, -1, -2)
+        b = be - jnp.einsum("kij,kj->ki", Ce, yl) \
+            - jnp.einsum("kij,kj->ki", CoT, yi)
+        bos.append(bo)
+
     x = solve_triangular(
         L0, solve_triangular(L0, b[0], lower=True), lower=True, trans=1)[None]
 
-    for Co, Cr, Lo, bo in reversed(levels):
+    for (Co, Cr, Ce, Lo), bo in zip(reversed(levels), reversed(bos)):
         K = Co.shape[0]
         # a deeper level may have padded its odd entry count; the pad is
         # decoupled (identity block, zero rhs -> zero solution), so trim
@@ -283,25 +319,45 @@ def _cr_solve_tridiag(A: jnp.ndarray, C: jnp.ndarray,
         # x holds the kept (even) entries; recover the odd ones:
         # x_{2j+1} = A^{-1} (b - C_{2j+1} x_{2j} - C_{2j+2}^T x_{2j+2})
         x_right = jnp.concatenate(
-            [x[1:], jnp.zeros((1, x.shape[-1]), dtype)], axis=0)
+            [x[1:], jnp.zeros((1, x.shape[-1]), x.dtype)], axis=0)
         r = bo - jnp.einsum("kij,kj->ki", Co, x) \
             - jnp.einsum("kji,kj->ki", Cr, x_right)
-        xo = jax.vmap(chol_solve)(Lo, r[..., None])[..., 0]
+        xo = jax.vmap(_chol_solve_batched)(Lo, r[..., None])[..., 0]
         x = jnp.stack([x, xo], axis=1).reshape(2 * K, -1)
     return x
 
 
-def cr_solve(H: BlockBanded, b: jnp.ndarray) -> jnp.ndarray:
+def cr_solve(H: BlockBanded, b: jnp.ndarray, refine: int = 1) -> jnp.ndarray:
     """Solve H x = b by block cyclic reduction over the time axis.
 
     Same interface as :func:`solve`; O(log N) parallel depth instead of the
     scan's O(N), at ~2x the FLOPs. The method of choice for long trials or
     small batch counts where the sequential scan underutilizes the chip.
+
+    ``refine`` extra substitution passes of iterative refinement
+    (x += H^{-1}(b - H x), reusing the factorization) recover the f32
+    accuracy the deeper Schur-complement recursion loses relative to the
+    sequential banded Cholesky: each pass contracts the error by the
+    solver's own relative error (~1e-3 raw), and costs only the O(M D^2)
+    substitution + one banded matvec — the O(M D^3) factor work is not
+    repeated. Measured at (B=10, N=64, d=54) production shape: raw CR is
+    ~1e-1 off the scan under default TPU matmul precision and ~1e-3 at
+    "highest"; one refinement pass lands under 1e-5.
     """
-    N, d = H.nblocks, H.block
-    A, C, bs = _tridiagonalize(H, b)
-    x = _cr_solve_tridiag(A, C, bs)
-    return x.reshape(-1, d)[:N]
+    with jax.default_matmul_precision("highest"):
+        N, d = H.nblocks, H.block
+        A, C, bs = _tridiagonalize(H, b)
+        levels, L0 = _cr_factor_tridiag(A, C)
+        x = _cr_apply(levels, L0, bs)[: bs.shape[0]]
+        xb = x.reshape(-1, d)[:N]
+        for _ in range(refine):
+            r = b - matvec(H, xb)
+            rs = jnp.concatenate(
+                [r, jnp.zeros((bs.shape[0] * bs.shape[1] // d - N, d),
+                              r.dtype)], axis=0).reshape(bs.shape)
+            dx = _cr_apply(levels, L0, rs)[: bs.shape[0]]
+            xb = xb + dx.reshape(-1, d)[:N]
+        return xb
 
 
 def add_diag_damping(H: BlockBanded, lam: jnp.ndarray,

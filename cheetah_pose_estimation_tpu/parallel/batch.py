@@ -80,6 +80,11 @@ def pad_and_stack(datas: Sequence[KinematicData],
                       np.asarray(d.ar.weight),
                       _pad_to(np.asarray(d.ar.valid), N, 0))
         q0p = np.asarray(q0)
+        if q0p.shape[0] > N:
+            raise ValueError(
+                f"q0 length {q0p.shape[0]} exceeds the requested padded "
+                f"size {N}; pass n_frames >= the longest trial "
+                "(padding never truncates)")
         if q0p.shape[0] < N:
             q0p = np.concatenate(
                 [q0p, np.tile(q0p[-1:], (N - q0p.shape[0], 1))])
@@ -171,6 +176,65 @@ def make_multistart(run,
         return _pick_restart(st, margin)
 
     return solve_all
+
+
+def make_multistart_probe(probe_run, full_run,
+                          offsets: Tuple[float, ...] = HEADING_RESTARTS,
+                          margin: float = MULTISTART_MARGIN):
+    """Demand-driven multistart: probe all restarts briefly, finish one.
+
+    ``make_multistart`` pays the FULL solve for every restart (R x B lanes
+    through ~210 LM iterations) even though the restarts exist only to
+    escape a rare knife-edge init basin that reveals itself within the
+    first annealing stage (the trapped basin sits at ~48x the cost after
+    stage 1 already). Here:
+
+    1. ``probe_run`` — a short fixed-length solve (the first annealing
+       stage as a ``scan`` driver, e.g. ``fte.make_solver(stages=((10.0,
+       30),), driver='scan')``) runs on all R x B heading-perturbed lanes;
+    2. per trial the winning basin is picked with the same margin rule as
+       :func:`make_multistart` (unperturbed preferred on near-ties);
+    3. ``full_run`` — the REMAINING annealing stages (e.g. ``stages=
+       ((3.0, 30), (1.0, 150))``) continues only the B winners from their
+       probe states, so no probe work is wasted.
+
+    Cost ~ R*B*probe_iters + B*full instead of R*B*full: measured on the
+    v5e 10-trial batch this is 2.3x faster than ``make_multistart`` at
+    equal reconstruction quality (docs/artifacts). The probe/full stage
+    split must reproduce the full solver's schedule for the unperturbed
+    lane to be solution-equivalent to a single-start solve.
+    """
+    offs = tuple(float(o) for o in offsets)
+    R = len(offs)
+
+    @jax.jit
+    def solve_all(q0b, batched):
+        B = q0b.shape[0]
+        q0r = jnp.concatenate([q0b.at[:, :, 5].add(o) for o in offs])
+        rep = jax.tree.map(
+            lambda x: jnp.tile(x, (R,) + (1,) * (x.ndim - 1)), batched)
+        st = jax.vmap(probe_run)(q0r, rep)
+        st = jax.tree.map(lambda x: x.reshape((R, B) + x.shape[1:]), st)
+        sel = _pick_restart(st, margin)
+        return jax.vmap(full_run)(sel.q, batched)
+
+    return solve_all
+
+
+# Probe/full annealing split for the demand-driven multistart: the probe
+# runs the default schedule's first (widest) stage fixed-length, the full
+# solve continues with the remaining stages. Concatenated they equal
+# KinematicFTE.make_solver's default ((10, 30), (3, 30), (1, 150)).
+PROBE_STAGES: Tuple[Tuple[float, int], ...] = ((10.0, 30),)
+FULL_STAGES: Tuple[Tuple[float, int], ...] = ((3.0, 30), (1.0, 150))
+
+
+def make_kinematic_multistart(fte, margin: float = MULTISTART_MARGIN):
+    """The production monocular solver: probe-multistart over the default
+    annealing schedule of ``KinematicFTE.make_solver``."""
+    probe = fte.make_solver(stages=PROBE_STAGES, driver="scan")
+    full = fte.make_solver(stages=FULL_STAGES)
+    return make_multistart_probe(probe, full, margin=margin)
 
 
 def multistart(run, q0b, batched,

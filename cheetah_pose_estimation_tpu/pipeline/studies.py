@@ -135,7 +135,12 @@ def run_grid_search_batched(root_dir: str, dir_prefix: str, test_set: Tuple,
                                          dtype=dtype)
         free = kin.KinematicFTE(
             kin.KinematicConfig(fisheye=True, robust=True), subject)
-        st_free = jax.jit(jax.vmap(free.make_solver()))(bq0, bbat)
+        # the same demand-driven heading multistart the production
+        # data-driven mode uses (batched.run_monocular_batched): without it
+        # the bootstrap can land in a trapped heading basin and every grid
+        # configuration inherits the bad anchor, making the whole sweep
+        # incomparable to the pipeline's quality
+        st_free = pbatch.make_kinematic_multistart(free)(bq0, bbat)
         chain = kin.KinematicFTE(
             kin.KinematicConfig(fisheye=True, robust=True, use_gmm=True),
             subject)
@@ -417,12 +422,12 @@ def run_degradation_sweep(rates: Tuple[float, ...] = (0.0, 1.0, 2.0, 4.0,
     fte_dd = kin.KinematicFTE(
         kin.KinematicConfig(fisheye=True, robust=True, use_gmm=True,
                             use_ar=True), subject)
-    # production monocular path: the prior-free solve runs the heading
-    # multistart (parallel/batch.py — restarts as extra batch, argmin pick),
-    # matching run_monocular/bench; the GMM chain and the dd refinement are
-    # warm-started from an already-converged trajectory, so they stay
-    # single-start
-    vdef = pbatch.make_multistart(fte_def.make_solver())
+    # production monocular path: the prior-free solve runs the demand-driven
+    # heading multistart (parallel/batch.py — probe all restarts, finish the
+    # winner), matching run_monocular_batched/bench; the GMM chain and the
+    # dd refinement are warm-started from an already-converged trajectory,
+    # so they stay single-start
+    vdef = pbatch.make_kinematic_multistart(fte_def)
     vgmm = jax.jit(jax.vmap(fte_gmm.make_solver()))
     vdd = jax.jit(jax.vmap(fte_dd.make_solver()))
     kvrun = None
@@ -502,8 +507,9 @@ def run_degradation_sweep(rates: Tuple[float, ...] = (0.0, 1.0, 2.0, 4.0,
             kbat, q_warm_b = bench_lib.build_physics_batch(
                 datas_plain, qs_dd, fpss, subject, n_frames=n_frames,
                 dtype=jnp.float32, ground_heights=gphs)
-            # the kinetic GN assembly's jacfwd intermediates exceed the v5e
-            # HBM at B=10 x N=64 — run in waves of 5 (see bench.py)
+            # waves of 5: with curv_chunk the B=10 x N=64 batch fits HBM in
+            # one wave, but two 5-lane waves measure faster on the v5e
+            # (while_loop straggler sync — see bench.py's wave rationale)
             B = q_warm_b.shape[0]
             kqs = []
             for i in range(0, B, 5):

@@ -160,5 +160,9 @@ def to_solver_prior(params: GMMParams):
     prec = np.linalg.inv(covs)
     sign, logdet = np.linalg.slogdet(2 * np.pi * covs)
     log_norm = np.log(np.asarray(params.weights) + 1e-300) - 0.5 * logdet
-    return GMMPrior(means=jnp.asarray(params.means), prec=jnp.asarray(prec),
-                    log_norm=jnp.asarray(log_norm))
+    # numpy leaves on purpose: an eager jnp.asarray here is the FIRST device
+    # op of a cold process and pays the whole tunneled-backend start-up
+    # (measured: minutes on the remote-compile path); the batching layer
+    # np.stacks these anyway and the jit transfers them at dispatch.
+    return GMMPrior(means=np.asarray(params.means), prec=prec,
+                    log_norm=log_norm)

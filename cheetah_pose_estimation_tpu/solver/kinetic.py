@@ -106,6 +106,19 @@ class KineticConfig:
     # mode earns its MPJPE win) and forgiving only on the base translation
     # bookkeeping (floor 0.34-0.53 BW)
     eom_floor_relative: bool = True
+    # absolute deadband override (BW) for the THREE base-translation EOM
+    # rows (m a_com = sum GRF + m g — the CoM-dynamics equations). The
+    # EOM_SLACK_FLOOR for these rows (0.34-0.53 BW) was measured at the
+    # reference's solutions via double finite differencing, which amplifies
+    # mm-level solution jitter to ~0.4 BW of apparent force — it is a
+    # property of the scoring, not of the engine. Leaving the full 2x floor
+    # band open lets monocular depth wobble (~1 BW of low-frequency
+    # apparent base acceleration) ride inside it untouched, which is why
+    # round-2 physics left CoM velocity exactly at its warm start. A tight
+    # absolute band here makes the physics stage own the CoM-dynamics
+    # metric (the reference's 0.70 -> 0.50 CoM-vel win, BASELINE.md).
+    # None = use the relative floor for the base rows too.
+    base_deadband: Optional[float] = 0.05
     # keep the kinematic constant-acceleration motion model active in the
     # physics stage. The reference's quadratic slack penalty doubles as a
     # high-frequency damper (any jitter needs torque or slack, both paid
@@ -187,8 +200,10 @@ class KineticFTE:
             return None
         if cfg.eom_floor_relative:
             from ..models import noise as noise_tables
-            return jnp.asarray(cfg.eom_deadband
-                               * noise_tables.EOM_SLACK_FLOOR, dtype)
+            db = cfg.eom_deadband * np.asarray(noise_tables.EOM_SLACK_FLOOR)
+            if cfg.base_deadband is not None:
+                db = np.concatenate([np.full(3, cfg.base_deadband), db[3:]])
+            return jnp.asarray(db, dtype)
         return jnp.asarray(cfg.eom_deadband, dtype)
 
     # ------------------------------------------------------------------

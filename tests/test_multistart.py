@@ -70,3 +70,49 @@ def test_multistart_single_matches_batched_pick():
     assert st.q.shape == (N, 54)
     np.testing.assert_allclose(np.asarray(st.q[:, 5]), 0.3, atol=1e-6)
     assert float(st.cost) < 1e-6
+
+
+def test_probe_multistart_selects_then_continues():
+    """Demand-driven multistart: the probe picks the winning basin per
+    trial (same margin rule), and only the winner is continued through the
+    full solve (the full stub marks continuation in q[..., 0, 0])."""
+    B, N = 3, 4
+    probe = _stub_run(0.3)
+
+    def full_run(q0, data):
+        st = _stub_run(0.3)(q0, data)
+        return st._replace(q=q0.at[0, 0].add(100.0))
+
+    ms = pbatch.make_multistart_probe(probe, full_run,
+                                      offsets=(0.0, 0.3, -0.3))
+    st = ms(jnp.zeros((B, N, 54)), {"bias": jnp.zeros(B)})
+    np.testing.assert_allclose(np.asarray(st.q[:, :, 5]), 0.3, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st.q[:, 0, 0]), 100.0, atol=1e-6)
+
+
+def test_probe_multistart_margin_prefers_unperturbed():
+    B, N = 2, 4
+
+    def probe(q0, data):
+        cost = 1.0 - 0.005 * jnp.minimum(jnp.abs(q0[0, 5]) / 0.3, 1.0)
+        z = jnp.zeros(())
+        return LMState(q=q0, cost=cost, lam=z, nu=z, it=z, done=z,
+                       n_accepted=z)
+
+    ms = pbatch.make_multistart_probe(probe, lambda q0, d: probe(q0, d),
+                                      offsets=(0.0, 0.3, -0.3))
+    st = ms(jnp.zeros((B, N, 54)), {"unused": jnp.zeros(B)})
+    np.testing.assert_allclose(np.asarray(st.q[:, :, 5]), 0.0, atol=1e-6)
+
+
+def test_probe_full_stage_split_covers_default_schedule():
+    """PROBE_STAGES + FULL_STAGES must exactly reproduce the default
+    annealing schedule of KinematicFTE.make_solver, otherwise the
+    demand-driven path silently solves a different problem."""
+    import inspect
+
+    from cheetah_pose_estimation_tpu.solver import kinematic as kin
+
+    default = inspect.signature(kin.KinematicFTE.make_solver) \
+        .parameters["stages"].default
+    assert pbatch.PROBE_STAGES + pbatch.FULL_STAGES == default
