@@ -79,6 +79,9 @@ def pad_and_stack(datas: Sequence[KinematicData],
         ar = ARAnchor(_pad_to(np.asarray(d.ar.y_pred), N, 0),
                       np.asarray(d.ar.weight),
                       _pad_to(np.asarray(d.ar.valid), N, 0))
+        # ground anchor: stance weights pad with zeros (anchor off on padded
+        # frames), plane elevation is a per-trial scalar
+        sw = _pad_to(np.broadcast_to(np.asarray(d.stance_w), (n, 4)), N, 0)
         q0p = np.asarray(q0)
         if q0p.shape[0] > N:
             raise ValueError(
@@ -91,7 +94,9 @@ def pad_and_stack(datas: Sequence[KinematicData],
         return KinematicData(meas=meas, weight=weight, cam=cam,
                              h=np.asarray(d.h), acc_weight=np.asarray(
                                  d.acc_weight),
-                             frame_valid=fv, gmm=d.gmm, ar=ar), q0p
+                             frame_valid=fv, gmm=d.gmm, ar=ar,
+                             ground_z=np.asarray(d.ground_z, float),
+                             stance_w=sw), q0p
 
     prepped = [prep(d, q) for d, q in zip(datas, q0s)]
 

@@ -30,6 +30,11 @@ NQ = 54
 BANDWIDTH = 3
 # third-difference stencil coefficients: w[t] = (q[t] -3q[t-1] +3q[t-2] -q[t-3])/h^2
 _ACC_STENCIL = np.array([1.0, -3.0, 3.0, -1.0])
+# paw-marker rows of the 24-marker FK, ordered like dynamics.eom.FOOT_NAMES
+# (HFL, HFR, HBL, HBR) so stance matrices from pipeline.contacts line up
+_PAW_IDX = np.array([sk.MARKERS.index(m) for m in
+                     ("l_front_paw", "r_front_paw",
+                      "l_back_paw", "r_back_paw")])
 
 
 class CameraSet(NamedTuple):
@@ -79,6 +84,14 @@ class KinematicData(NamedTuple):
     sd_tau: jnp.ndarray = np.zeros(1)        # (C,)
     sd_vel: jnp.ndarray = np.zeros((1, 3))   # (N, 3)
     sd_acc: jnp.ndarray = np.zeros((1, 3))   # (N, 3)
+    # ground-plane depth anchor (monocular): the reference only ever sees the
+    # calibrated ground_plane_height in its PHYSICS stage (foot constraints,
+    # acinoset_opt.py:500); exposing it to the kinematic/data-driven solves
+    # attacks the dominant monocular error — global depth — directly.
+    # ``stance_w`` is a per-frame per-foot confidence from contact detection
+    # (pipeline.contacts); zero weights (the default) disable every term.
+    ground_z: jnp.ndarray = np.zeros(())     # scalar plane elevation [m]
+    stance_w: jnp.ndarray = np.zeros((1, 4))  # (N, 4) in [0, 1]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -113,6 +126,20 @@ class KinematicConfig:
     # CoM-velocity RMSE ~1.9 -> 0.6-1.5): the removed lateral-leg pseudo-
     # DOFs were overfitting corrupted detections.
     weld_weight: float = 1e6
+    # ground-plane anchor weights (active only when KinematicData.stance_w /
+    # ground_z are populated by the pipeline's contact-detection pass):
+    #   ground_weight      — quadratic pull of stance-foot z onto the plane
+    #                        (1/m^2; 2e4 ~ sigma_z of 7 mm)
+    #   penetration_weight — one-sided hinge keeping EVERY foot above the
+    #                        plane on all valid frames
+    #   noslip_weight      — stance feet are stationary in xy: quadratic on
+    #                        the frame-to-frame paw displacement (couples
+    #                        q_t, q_{t-1} through the banded lower block) —
+    #                        pins global translation against monocular
+    #                        depth wobble
+    ground_weight: float = 0.0
+    penetration_weight: float = 0.0
+    noslip_weight: float = 0.0
     # absolute Tikhonov floor on the normal matrix diagonal. The skeleton has
     # exactly one unobservable DOF per leg/tail segment (rotation about the
     # cylinder axis: markers sit on the axis, and the reference gives those
@@ -269,6 +296,9 @@ class KinematicFTE:
         self._hi = hi
         self._A22 = sk.A_REL[6:]  # (22, 54) relative joint angles
         self._A28 = sk.A_REL      # (28, 54)
+        self._ground_on = (config.ground_weight > 0.0
+                           or config.penetration_weight > 0.0
+                           or config.noslip_weight > 0.0)
         self.cost = jax.jit(self._cost)
         self.normal = jax.jit(self._normal)
         self._solve_cache = {}
@@ -372,6 +402,28 @@ class KinematicFTE:
             motion = jnp.sum(data.ar.valid[:, None] * data.ar.weight[None, :]
                              * r * r)
         penalty = self._limit_cost(q, data.frame_valid)
+        if self._ground_on:
+            N = q.shape[0]
+            fv = data.frame_valid
+            paw = jax.vmap(lambda qt: sk.fk_markers_linear(
+                qt, self.subject)[jnp.asarray(_PAW_IDX)])(q)      # (N, 4, 3)
+            fz = paw[..., 2]
+            gzv = data.ground_z.astype(q.dtype)
+            sw = jnp.broadcast_to(data.stance_w.astype(q.dtype),
+                                  (N, 4)) * fv[:, None]
+            gcost = jnp.zeros((), q.dtype)
+            if cfg.ground_weight > 0.0:
+                r = fz - gzv
+                gcost = gcost + cfg.ground_weight * jnp.sum(sw * r * r)
+            if cfg.penetration_weight > 0.0:
+                pen = jnp.maximum(gzv - fz, 0.0)
+                gcost = gcost + cfg.penetration_weight * jnp.sum(
+                    fv[:, None] * pen * pen)
+            if cfg.noslip_weight > 0.0:
+                dxy = paw[1:, :, :2] - paw[:-1, :, :2]            # (N-1,4,2)
+                wns = cfg.noslip_weight * sw[1:] * sw[:-1]
+                gcost = gcost + jnp.sum(wns * jnp.sum(dxy * dxy, -1))
+            penalty = penalty + gcost
         if cfg.weld_weight > 0.0:
             # continuation: soft manifold at wide annealing scales, tight at
             # s=1 (same rationale as the kinetic EOM ramp — a full-weight
@@ -462,10 +514,13 @@ class KinematicFTE:
             H_t = (Jf * hsum[:, None]).T @ Jf
             # dC/dshift (per camera) for the live shutter chain rule
             dshift = jnp.einsum("cmdw,cmdi->ci", gw, Juv)
-            return g_t, H_t, dshift
+            # paw positions + Jacobian rows for the ground-plane anchor
+            # (free: pts/Jm are already computed for the measurement term)
+            paw_idx = jnp.asarray(_PAW_IDX)
+            return g_t, H_t, dshift, pts[paw_idx], Jm[paw_idx]
 
-        g_meas, H_meas, dshift = jax.vmap(frame_terms)(q, data.meas, w_all,
-                                                       shift_all)
+        g_meas, H_meas, dshift, paw, Jpaw = jax.vmap(frame_terms)(
+            q, data.meas, w_all, shift_all)
 
         # constant-acceleration banded quadratic (linear -> exact)
         H_acc = acc_banded(data.h, data.acc_weight, data.frame_valid)
@@ -549,12 +604,50 @@ class KinematicFTE:
             Hdiag = Hdiag + ww * fv[..., None] \
                 * jnp.einsum("tri,trj->tij", Jw, Jw)
 
+        lower = H_acc.lower
+        if self._ground_on:
+            fzp = paw[..., 2]                                 # (N, 4)
+            Jz = Jpaw[:, :, 2, :]                             # (N, 4, 54)
+            gzv = data.ground_z.astype(dtype)
+            sw = jnp.broadcast_to(data.stance_w.astype(dtype),
+                                  (N, 4)) * data.frame_valid[:, None]
+            if cfg.ground_weight > 0.0:
+                wg = cfg.ground_weight * sw
+                rg = fzp - gzv
+                g = g + 2.0 * jnp.einsum("tf,tfj->tj", wg * rg, Jz)
+                Hdiag = Hdiag + 2.0 * jnp.einsum("tf,tfi,tfj->tij",
+                                                 wg, Jz, Jz)
+            if cfg.penetration_weight > 0.0:
+                pen = jnp.maximum(gzv - fzp, 0.0)
+                wp = cfg.penetration_weight * data.frame_valid[:, None]
+                g = g - 2.0 * jnp.einsum("tf,tfj->tj", wp * pen, Jz)
+                Hdiag = Hdiag + 2.0 * jnp.einsum(
+                    "tf,tfi,tfj->tij", wp * (pen > 0).astype(dtype), Jz, Jz)
+            if cfg.noslip_weight > 0.0:
+                fxy = paw[..., :2]                            # (N, 4, 2)
+                Jxy = Jpaw[:, :, :2, :]                       # (N, 4, 2, 54)
+                dxy = fxy[1:] - fxy[:-1]                      # (N-1, 4, 2)
+                wns = cfg.noslip_weight * sw[1:] * sw[:-1]    # (N-1, 4)
+                g = g.at[1:].add(2.0 * jnp.einsum(
+                    "tf,tfd,tfdj->tj", wns, dxy, Jxy[1:]))
+                g = g.at[:-1].add(-2.0 * jnp.einsum(
+                    "tf,tfd,tfdj->tj", wns, dxy, Jxy[:-1]))
+                Hdiag = Hdiag.at[1:].add(2.0 * jnp.einsum(
+                    "tf,tfdi,tfdj->tij", wns, Jxy[1:], Jxy[1:]))
+                Hdiag = Hdiag.at[:-1].add(2.0 * jnp.einsum(
+                    "tf,tfdi,tfdj->tij", wns, Jxy[:-1], Jxy[:-1]))
+                # cross block H[t, t-1] = -2 w J_t^T J_{t-1}; banded layout
+                # stores it at lower[0, t-1] (ops.banded.BlockBanded)
+                cross = -2.0 * jnp.einsum(
+                    "tf,tfdi,tfdj->tij", wns, Jxy[1:], Jxy[:-1])
+                lower = lower.at[0, : N - 1].add(cross)
+
         # padded frames: identity anchor to keep H nonsingular
         pad = (1.0 - data.frame_valid)[:, None, None]
         Hdiag = Hdiag + (pad + self.config.tikhonov) * \
             jnp.eye(NQ, dtype=dtype)[None]
 
-        H = banded.BlockBanded(diag=Hdiag, lower=H_acc.lower)
+        H = banded.BlockBanded(diag=Hdiag, lower=lower)
         return g, H
 
     # -- joint shutter-delay solve (bordered system) ------------------------
