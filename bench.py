@@ -25,6 +25,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from cheetah_pose_estimation_tpu.utils.device import enable_compile_cache
+
+enable_compile_cache()
+
 BASELINE_DEFAULT_S = 20.9
 BASELINE_PHYSICS_S = 725.6
 

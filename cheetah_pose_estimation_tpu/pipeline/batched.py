@@ -10,6 +10,7 @@ coefficient tensors are per-morphology compile-time constants).
 """
 from __future__ import annotations
 
+import dataclasses
 import os
 import time
 from collections import defaultdict
@@ -25,7 +26,55 @@ from ..parallel import batch as pbatch
 from ..priors import armodel, dataset as prior_ds, gmm as gmm_mod
 from ..solver import kinematic as kin
 from ..utils import data_ops
+from . import depth_anchor as danchor
 from . import estimator as est_mod
+
+def _anchor_polish(qs: np.ndarray, ests: List, batched, subject, cfg_base,
+                   dtype, stages=danchor.POLISH_STAGES):
+    """Monocular ground-plane depth correction + short anchored polish.
+
+    ``qs`` (B, Npad, 54) are the solved (already prior-gated) trajectories.
+    The analytic ray shift runs on the host per trial; the polish is one
+    vmapped warm-started LM run with the anchor terms on and the learned
+    priors OFF — the GMM/AR priors act on relative pose, which is invariant
+    to the base translation this pass adjusts, so omitting them changes
+    nothing they measure while keeping the compiled polish solver shared
+    across gated and ungated trials. A per-trial acceptance gate reverts
+    any trial whose plain (prior-free, anchor-free) kinematic objective the
+    polish worsened by > 5 % — the analytic shift is reprojection-neutral
+    by construction, so a material increase means the polish diverged
+    against bad stance evidence. Returns (qs_polished, any_stance)."""
+    B, Npad = qs.shape[0], qs.shape[1]
+    stance_b = np.zeros((B, Npad, 4))
+    gz = np.zeros(B)
+    qs_corr = qs.copy()
+    for i, est in enumerate(ests):
+        n = est.data.meas.shape[0]
+        ci = est.scene.cam_idx
+        gz[i] = float(est.params.ground_plane_height)
+        qc, stw, _ = danchor.ray_depth_correction(
+            qs[i, :n], subject, est.scene.fps, gz[i],
+            est.scene.r_arr[ci], est.scene.t_arr[ci])
+        qs_corr[i, :n] = qc
+        stance_b[i, :n] = stw
+    if stance_b.sum() == 0.0:
+        return qs, False
+    afte = kin.KinematicFTE(dataclasses.replace(
+        cfg_base, use_gmm=False, use_ar=False, **danchor.POLISH_CFG),
+        subject)
+    vpol = jax.jit(jax.vmap(afte.make_solver(stages=stages)))
+    st = vpol(jnp.asarray(qs_corr, dtype),
+              batched._replace(ground_z=jnp.asarray(gz, dtype),
+                               stance_w=jnp.asarray(stance_b, dtype)))
+    gate = kin.KinematicFTE(dataclasses.replace(
+        cfg_base, use_gmm=False, use_ar=False), subject)
+    vobj = jax.jit(jax.vmap(gate.objective))
+    c0 = np.asarray(vobj(jnp.asarray(qs, dtype), batched), np.float64)
+    c1 = np.asarray(vobj(st.q, batched), np.float64)
+    accept = np.isfinite(c1) & (c1 <= 1.05 * c0)
+    qs_out = np.where(accept[:, None, None],
+                      np.asarray(st.q, np.float64), qs)
+    return qs_out, bool(accept.any())
 
 
 def _resolve_mesh(mesh, n_trials: int):
@@ -83,6 +132,7 @@ def run_monocular_batched(root_dir: str, dir_prefix: str,
                           motion_prior_rolling: int = 0,
                           prior_guard_ratio: float = 1.10,
                           mesh: Optional[object] = "auto",
+                          ground_anchor: bool = True,
                           verbose: bool = True) -> Dict[str, float]:
     # float32 is the throughput configuration: the kinematic solver is
     # quality-equivalent in f32 (solver-wide full-precision matmuls), while
@@ -236,11 +286,21 @@ def run_monocular_batched(root_dir: str, dir_prefix: str,
             solve_s = (solve_s if use_priors else 0.0) \
                 + (time.time() - t_s)
             qs = np.asarray(state.q, np.float64)
+            if use_priors and q_free_np is not None:
+                # prior-gated trials ship the prior-free solution
+                qs = np.where(prior_ok[:, None, None], qs, q_free_np)
+            if monocular and ground_anchor:
+                # monocular depth correction: analytic ray shift to the
+                # calibrated plane + short anchored polish (depth_anchor.py)
+                t_a = time.time()
+                qs, live = _anchor_polish(qs, ests, batched, subject, cfg,
+                                          dtype)
+                solve_s += time.time() - t_a
+                if verbose and live:
+                    print("[batched] ground-plane depth anchor applied")
             for i, est in enumerate(ests[:n_real]):
                 n = est.data.meas.shape[0]
-                # prior-gated trials ship the prior-free solution
-                est.q = (qs[i, :n] if prior_ok[i]
-                         else q_free_np[i, :n])
+                est.q = qs[i, :n]
                 est.obj_cost = float(fte.objective(
                     jnp.asarray(est.q), est.data))
                 est.opt_time_s = solve_s / max(n_real, 1)

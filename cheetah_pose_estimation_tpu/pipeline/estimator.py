@@ -402,6 +402,7 @@ def estimate_kinematics(est: CheetahEstimator,
                         motion_prior_rolling: int = 0,
                         data_driven_dataset: Optional[str] = None,
                         prior_guard_ratio: float = 1.10,
+                        ground_anchor: bool = True,
                         out_dir_prefix: Optional[str] = None,
                         solver_output: bool = False,
                         save: bool = True) -> bool:
@@ -545,6 +546,36 @@ def estimate_kinematics(est: CheetahEstimator,
             state = run(state.q, data)
         est.data = data
     est.q = np.asarray(state.q, dtype=np.float64)
+    if (ground_anchor and scene.cam_idx is not None
+            and not p.kinetic_dataset):
+        # monocular ground-plane depth anchor (pipeline/depth_anchor.py):
+        # analytic shift along the camera ray to close the stance-feet
+        # plane gap, then a short anchored polish (same path as the
+        # batched pipeline's _anchor_polish)
+        from . import depth_anchor as danchor
+        ci = scene.cam_idx
+        qc, stw, _ = danchor.ray_depth_correction(
+            est.q, est.subject, scene.fps, p.ground_plane_height,
+            scene.r_arr[ci], scene.t_arr[ci])
+        if stw.sum() > 0:
+            acfg = dataclasses.replace(cfg, use_gmm=False, use_ar=False,
+                                       **danchor.POLISH_CFG)
+            afte = kin.KinematicFTE(acfg, est.subject)
+            ast = afte.make_solver(stages=danchor.POLISH_STAGES)(
+                jnp.asarray(qc, state.q.dtype), data._replace(
+                    ground_z=jnp.asarray(p.ground_plane_height),
+                    stance_w=jnp.asarray(stw)))
+            # acceptance gate (same rule as batched._anchor_polish): the
+            # analytic shift is reprojection-neutral, so a polish that
+            # worsens the plain prior-free objective > 5 % diverged
+            # against bad stance evidence — revert
+            gfte = kin.KinematicFTE(dataclasses.replace(
+                cfg, use_gmm=False, use_ar=False), est.subject)
+            c0 = float(gfte.objective(state.q, data))
+            c1 = float(gfte.objective(ast.q, data))
+            if np.isfinite(c1) and c1 <= 1.05 * c0:
+                est.q = np.asarray(ast.q, np.float64)
+                state = state._replace(q=ast.q)
     est.opt_time_s = time.time() - t0
     est.obj_cost = float(fte.objective(state.q, data))
     ok = bool(np.isfinite(est.obj_cost)) and bool(

@@ -675,6 +675,8 @@ def _maybe_ablation_figure(dir_prefix: str):
 
 
 def main(argv=None):
+    from ..utils.device import enable_compile_cache
+    enable_compile_cache()
     parser = argparse.ArgumentParser(
         description="TPU-native cheetah reconstruction dataset driver")
     parser.add_argument("--root_dir", type=str, default="./cheetah_videos")
@@ -705,6 +707,10 @@ def main(argv=None):
                              "of the serial per-trial loop")
     parser.add_argument("--trials", type=int, default=None,
                         help="limit to the first N test-set trials")
+    parser.add_argument("--no_ground_anchor", action="store_true",
+                        help="disable the monocular ground-plane depth "
+                             "anchor (analytic ray shift + anchored "
+                             "polish, pipeline/depth_anchor.py)")
     args = parser.parse_args(argv)
 
     test_set = TEST_SET[: args.trials] if args.trials else TEST_SET
@@ -722,7 +728,8 @@ def main(argv=None):
                     args.root_dir, args.out_dir_prefix, test_set,
                     cam_overrides,
                     modes=("ground-truth", "default", "data-driven",
-                           "physics-based"))
+                           "physics-based"),
+                    ground_anchor=not args.no_ground_anchor)
             else:
                 run_monocular(args.root_dir, args.out_dir_prefix, test_set,
                               cam_overrides)

@@ -1,0 +1,120 @@
+"""Analytic monocular depth correction (pipeline/depth_anchor.py).
+
+The correction must recover a known global shift along the camera viewing
+ray — the error mode that dominates monocular MPE (reprojection-invisible,
+stance-gap-visible with a 1/|ray_z| lever).
+"""
+import numpy as np
+import pytest
+
+from cheetah_pose_estimation_tpu.data import synthetic as syn
+from cheetah_pose_estimation_tpu.models import params as P
+from cheetah_pose_estimation_tpu.models import skeleton as sk
+from cheetah_pose_estimation_tpu.pipeline import contacts as cmod
+from cheetah_pose_estimation_tpu.pipeline import depth_anchor as da
+
+SUBJ = P.get_subject("acinoset")
+
+
+def _gallop_with_camera(n_frames=32, seed=0):
+    q = syn.gallop_trajectory(n_frames=n_frames, seed=seed)
+    center = np.asarray(sk.fk_markers(q, SUBJ)).mean(axis=(0, 1))
+    scene = syn.ring_cameras(center, n_cams=3, seed=seed)
+    return q, scene
+
+
+def test_camera_ray_points_from_centre_to_base():
+    q, scene = _gallop_with_camera()
+    ci = 1
+    ray = da.camera_ray(q, scene.R[ci], scene.t[ci])
+    c = -scene.R[ci].T @ scene.t[ci]
+    np.testing.assert_allclose(np.linalg.norm(ray, axis=1), 1.0, atol=1e-9)
+    # ray * distance lands back on the base
+    d = np.linalg.norm(q[:, :3] - c, axis=1)
+    np.testing.assert_allclose(c[None] + ray * d[:, None], q[:, :3],
+                               atol=1e-9)
+
+
+def test_ray_depth_correction_recovers_known_shift():
+    """Shift the whole trajectory 0.8 m along the per-frame camera ray
+    (reprojection-invisible); the correction must undo it to cm level."""
+    from cheetah_pose_estimation_tpu.pipeline import bench_lib
+
+    # a real reference trajectory carries detectable stance windows
+    # (18-24 stance frames per trial); procedural gallops often do not
+    q, _, fps = bench_lib.load_reference_trajectories(1)[0]
+    center = np.asarray(sk.fk_markers(q, SUBJ)).mean(axis=(0, 1))
+    scene = syn.ring_cameras(center, n_cams=3, seed=2, fps=fps)
+    gz = cmod.estimate_ground_height(q, SUBJ)
+    ci = 0
+    ray = da.camera_ray(q, scene.R[ci], scene.t[ci])
+    assert np.abs(ray[:, 2]).min() > 0.02, "scene has no depth lever"
+
+    q_shift = q.copy()
+    q_shift[:, :3] += 0.8 * ray
+    stance = da.detect_stance(q, SUBJ, fps, gz)
+    if stance.sum() == 0:
+        pytest.skip("no stance detected on this trajectory")
+    q_corr, _, shift = da.ray_depth_correction(
+        q_shift, SUBJ, 120.0, gz, scene.R[ci], scene.t[ci], stance=stance)
+    # differential claim: relative to the correction the procedure applies
+    # to the UNSHIFTED trajectory (its baseline stance-gap bias, ~0.1 m on
+    # real data), the fitted shift must recover the added 0.8 m
+    _, _, shift0 = da.ray_depth_correction(
+        q, SUBJ, 120.0, gz, scene.R[ci], scene.t[ci], stance=stance)
+    assert abs(np.mean(shift - shift0) + 0.8) < 0.05, \
+        (np.mean(shift), np.mean(shift0))
+    err_before = np.linalg.norm(q_shift[:, :3] - q[:, :3], axis=1).mean()
+    err_after = np.linalg.norm(q_corr[:, :3] - q[:, :3], axis=1).mean()
+    assert err_after < 0.2 * err_before, (err_before, err_after)
+
+
+def test_no_stance_evidence_is_a_noop():
+    q, scene = _gallop_with_camera(seed=3)
+    stance = np.zeros((q.shape[0], 4))
+    q_corr, _, shift = da.ray_depth_correction(
+        q, SUBJ, 120.0, 0.0, scene.R[0], scene.t[0], stance=stance)
+    np.testing.assert_array_equal(q_corr, q)
+    np.testing.assert_array_equal(shift, 0.0)
+
+
+def test_fit_shift_is_robust_min_of_window_samples():
+    """fit_shift is the lowest implied shift across windows: hovering
+    windows (inflated gaps) must not inflate it, and a single penetration
+    artifact (grossly low sample) must fall back to the second lowest."""
+    N = 60
+    ray_z = np.full(N, -0.15)
+    ts = np.array([5.0, 15.0, 25.0, 35.0, 45.0, 55.0])
+    ws = np.full(len(ts), 8.0)
+    true_s = 0.5                            # constant global depth error
+    gaps = np.full(len(ts), true_s * 0.15)
+    # three windows hover (feet never reached the plane): inflated gaps
+    gaps_hover = gaps.copy()
+    gaps_hover[[1, 3, 4]] += np.array([0.03, 0.07, 0.05])
+    s = da.fit_shift(ts, gaps_hover, ws, ray_z)
+    np.testing.assert_allclose(s, true_s, atol=1e-9)
+    # one penetration artifact 0.6 m below the rest: second-lowest wins
+    gaps_pen = gaps_hover.copy()
+    gaps_pen[2] -= 0.6 * 0.15
+    s = da.fit_shift(ts, gaps_pen, ws, ray_z)
+    np.testing.assert_allclose(s, true_s, atol=1e-9)
+    # a mild low sample (within 0.5 m of the next) is trusted
+    gaps_mild = gaps_hover.copy()
+    gaps_mild[2] -= 0.3 * 0.15
+    s = da.fit_shift(ts, gaps_mild, ws, ray_z)
+    np.testing.assert_allclose(s, true_s - 0.3, atol=1e-9)
+
+
+def test_touchdown_samples_pick_window_minima():
+    """Each consecutive stance run contributes exactly one sample at its
+    minimum-gap frame, weighted by run length."""
+    q = syn.gallop_trajectory(n_frames=20, seed=1)
+    stance = np.zeros((20, 4))
+    stance[3:9, 0] = 1.0     # one 6-frame window, foot 0
+    stance[12:15, 2] = 1.0   # one 3-frame window, foot 2
+    ts, gaps, ws = da.touchdown_samples(q, SUBJ, stance, 0.0)
+    assert len(ts) == 2
+    paws = da.paw_heights(q, SUBJ)
+    assert gaps[0] == pytest.approx(paws[3:9, 0].min())
+    assert gaps[1] == pytest.approx(paws[12:15, 2].min())
+    np.testing.assert_array_equal(ws, [6.0, 3.0])
