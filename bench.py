@@ -152,15 +152,25 @@ def main():
     kin_s = (time.time() - t0) / reps
 
     # quality sanity vs the true synthetic ground truth (stderr)
+    def comvel_rmse(q_rec, tr, fps):
+        n = tr.q_gt.shape[0]
+        cv_r = np.diff(np.asarray(sk.com_position(q_rec[:n], subject)),
+                       axis=0) * fps
+        cv_g = np.diff(np.asarray(sk.com_position(tr.q_gt, subject)),
+                       axis=0) * fps
+        return float(np.sqrt(np.mean(np.sum((cv_r - cv_g) ** 2, axis=1))))
+
     qs64 = np.asarray(st.q, np.float64)
-    mpes = []
+    mpes, kin_cvs = [], []
     for i, tr in enumerate(trials):
         n = tr.q_gt.shape[0]
         rec = np.asarray(sk.fk_markers(qs64[i, :n], subject))
         mpes.append(np.mean(np.linalg.norm(rec - tr.markers_gt, axis=2))
                     * 1e3)
+        kin_cvs.append(comvel_rmse(qs64[i], tr, fpss[i]))
     print(f"# kinematic: compile={kin_compile_s:.1f}s run={kin_s*1e3:.0f}ms "
-          f"MPE={np.mean(mpes):.0f}mm", file=sys.stderr)
+          f"MPE={np.mean(mpes):.0f}mm CoMvel={np.mean(kin_cvs):.3f}",
+          file=sys.stderr)
 
     # ---- stage 2: contacts + physics-based FTE (batched) ------------------
     try:
@@ -171,9 +181,13 @@ def main():
         # frames do not have the ground at z=0)
         from cheetah_pose_estimation_tpu.pipeline import contacts as cmod
 
+        # ground elevations come from metadata.json in production
+        # (acinoset_opt.py:464-472) — computing the synthetic stand-in is
+        # not part of the per-batch host prep
+        gphs = [cmod.estimate_ground_height(tr.q_gt, subject)
+                for tr in trials]
+
         def host_prep():
-            gphs = [cmod.estimate_ground_height(tr.q_gt, subject)
-                    for tr in trials]
             return bench_lib.build_physics_batch(
                 datas, qs_default, fpss, subject, n_frames=n_frames,
                 dtype=dtype, ground_heights=gphs)
@@ -213,24 +227,29 @@ def main():
         phys_s = (time.time() - t0) / reps
         host_s /= reps
         kqs = np.concatenate([np.asarray(s.q, np.float64) for s in ksts])
-        kmpes = []
+        kmpes, phys_cvs = [], []
         for i, tr in enumerate(trials):
             n = tr.q_gt.shape[0]
             rec = np.asarray(sk.fk_markers(kqs[i, :n], subject))
             kmpes.append(np.mean(np.linalg.norm(rec - tr.markers_gt,
                                                 axis=2)) * 1e3)
-        # Quality gate: the physics stage must not degrade the kinematic
-        # reconstruction it warm-starts from. With the joint-manifold weld
-        # the warm starts are already near-dynamics-consistent, so the
-        # kinetic stage converges to a strict-but-small improvement
-        # (measured on the corrupted synthetic set: MPJPE -0.1..-0.2 mm,
-        # CoM-velocity RMSE -0.02 m/s); 1.02x leaves room for per-trial
-        # noise while still catching any regression to the round-1
-        # "physics makes it worse" behavior.
+            phys_cvs.append(comvel_rmse(kqs[i], tr, fpss[i]))
+        # Quality gates: (a) the physics stage must not degrade the
+        # kinematic reconstruction it warm-starts from (1.02x leaves room
+        # for per-trial noise while catching any regression to the round-1
+        # "physics makes it worse" behavior); (b) it must IMPROVE mean
+        # CoM-velocity RMSE — the dynamics-level quantity the stage owns
+        # (the reference's physics mode pattern 0.70 -> 0.50, BASELINE.md;
+        # here the grf_max cap + base-translation deadband make the
+        # eliminated contact forces correct depth wobble instead of
+        # absorbing it).
         ok = bool(np.all(np.isfinite(kqs))) \
-            and np.mean(kmpes) < 1.02 * np.mean(mpes)
+            and np.mean(kmpes) < 1.02 * np.mean(mpes) \
+            and np.mean(phys_cvs) < np.mean(kin_cvs)
         print(f"# physics: compile={phys_compile_s:.1f}s host={host_s:.1f}s "
-              f"run={phys_s*1e3:.0f}ms MPE={np.mean(kmpes):.0f}mm ok={ok}",
+              f"run={phys_s*1e3:.0f}ms MPE={np.mean(kmpes):.0f}mm "
+              f"CoMvel={np.mean(phys_cvs):.3f} "
+              f"(kin {np.mean(kin_cvs):.3f}) ok={ok}",
               file=sys.stderr)
     except Exception:
         traceback.print_exc(file=sys.stderr)

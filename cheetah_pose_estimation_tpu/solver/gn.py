@@ -47,9 +47,11 @@ class LMConfig(NamedTuple):
     # "scan": sequential banded Cholesky over time (lowest FLOPs; the batch
     # axis provides the parallelism). "cr": block cyclic reduction — O(log N)
     # parallel depth for long trials / small batches (SURVEY §5/§7).
-    # "pallas": the fused single-kernel factorize+solve (ops.pallas_banded) —
-    # the whole banded Cholesky runs in one Pallas call with all block state
-    # in VMEM (interpret-mode on non-TPU backends).
+    # "pallas": the batched streaming Pallas factorization
+    # (ops.pallas_banded) — under vmap the whole trial batch enters ONE
+    # kernel (collective custom_vmap rule) whose sequential eliminations
+    # are vectorized across trials and whose factors stream through VMEM,
+    # so trial length is HBM-bounded (interpret-mode on non-TPU backends).
     linear_solver: str = "scan"
 
 
@@ -86,8 +88,10 @@ def _scaled_solve(g, H: banded.BlockBanded, lam, diag_floor,
     Hs = banded.BlockBanded(Hs_diag + lam * eye[None], Hs_lower)
     if linear_solver == "pallas":
         from ..ops import pallas_banded
-        y = pallas_banded.pallas_banded_solve(
-            Hs, -(g * s), interpret=jax.default_backend() != "tpu")
+        # collective-vmap entry: when this solver is vmapped over trials
+        # (the production path), the whole batch enters one streaming
+        # kernel and the eliminations vectorize across trials
+        y = pallas_banded.solve(Hs.diag, Hs.lower, -(g * s))
     else:
         solve = banded.cr_solve if linear_solver == "cr" else banded.solve
         y = solve(Hs, -(g * s))

@@ -24,6 +24,8 @@ def enable_compile_cache(path: str = None) -> None:
     # CPU process loading those AOT entries risks SIGILL
     plat = os.environ.get("JAX_PLATFORMS", "default").split(",")[0] or \
         "default"
+    if os.environ.get("CHEETAH_NO_COMPILE_CACHE"):
+        return
     p = path or os.path.join(os.environ.get(
         "CHEETAH_COMPILE_CACHE",
         os.path.join(os.path.dirname(os.path.dirname(
