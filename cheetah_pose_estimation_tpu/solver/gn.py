@@ -44,15 +44,19 @@ class LMConfig(NamedTuple):
     # reject/re-damp cycles. inf = uncapped (kinematic stage: every
     # coordinate carries curvature).
     step_cap: float = float("inf")
-    # "scan": sequential banded Cholesky over time (lowest FLOPs; the batch
-    # axis provides the parallelism). "cr": block cyclic reduction — O(log N)
-    # parallel depth for long trials / small batches (SURVEY §5/§7).
+    # "cr": block cyclic reduction — O(log N) parallel depth; with
+    # factorization-grade precision + one step of iterative refinement it
+    # matches the scan to ~7e-4 at production shape while running ~20%
+    # faster on the v5e (docs/artifacts/linsolve_bench.json), so it is the
+    # production default. "scan": sequential banded Cholesky over time
+    # (lowest FLOPs, bit-stable reference; the batch axis provides the
+    # parallelism).
     # "pallas": the batched streaming Pallas factorization
     # (ops.pallas_banded) — under vmap the whole trial batch enters ONE
     # kernel (collective custom_vmap rule) whose sequential eliminations
     # are vectorized across trials and whose factors stream through VMEM,
     # so trial length is HBM-bounded (interpret-mode on non-TPU backends).
-    linear_solver: str = "scan"
+    linear_solver: str = "cr"
 
 
 class LMState(NamedTuple):
@@ -66,7 +70,7 @@ class LMState(NamedTuple):
 
 
 def _scaled_solve(g, H: banded.BlockBanded, lam, diag_floor,
-                  linear_solver: str = "scan"):
+                  linear_solver: str = "cr"):
     """Solve (H + lam * diag(H)) dq = -g via symmetric Jacobi scaling.
 
     Scaling by S = diag(H)^{-1/2} both implements Marquardt's diagonal

@@ -749,7 +749,7 @@ class KinematicFTE:
                     stages: Tuple[Tuple[float, int], ...] = (
                         (10.0, 30), (3.0, 30), (1.0, 150)),
                     ftol: float = 1e-9, lam0: float = 1e-2,
-                    linear_solver: str = "scan", driver: str = "while"):
+                    linear_solver: str = "cr", driver: str = "while"):
         """Jitted graduated-non-convexity solve: anneal the redescending loss
         thresholds (scale s: wide -> 1) so early iterations see gradient
         everywhere, then tighten to the reference's exact (3, 10, 20) loss.

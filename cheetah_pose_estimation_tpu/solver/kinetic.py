@@ -836,7 +836,7 @@ class KineticFTE:
     # ------------------------------------------------------------------
     def make_solver(self, stages=((3.0, 40), (1.7, 40), (1.0, 100)),
                     ftol: float = 1e-9,
-                    lam0: float = 10.0, linear_solver: str = "scan",
+                    lam0: float = 10.0, linear_solver: str = "cr",
                     driver: str = "while"):
         from . import gn as gn_mod
         key = (stages, ftol, lam0, linear_solver, driver)

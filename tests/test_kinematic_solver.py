@@ -147,7 +147,7 @@ def test_cr_linear_solver_equivalent():
         trial.meas, syn.gated_weights(trial), scene.K, scene.D, scene.R,
         scene.t, subject, fisheye=True))
     stages = ((3.0, 10), (1.0, 30))
-    st_scan = fte.make_solver(stages=stages)(q0, data)
+    st_scan = fte.make_solver(stages=stages, linear_solver="scan")(q0, data)
     st_cr = fte.make_solver(stages=stages, linear_solver="cr")(q0, data)
     # identical accept/reject path in f64 => same iterate to tight tolerance
     np.testing.assert_allclose(np.asarray(st_cr.q), np.asarray(st_scan.q),
