@@ -2,13 +2,15 @@
 """Benchmark: batched full monocular reconstruction pipeline on one chip.
 
 Baseline (BASELINE.md, data/test_set/dataset_results.csv): per trial the
-reference spends 20.9 s (default kinematic) + 725.6 s (physics-based) of
-IPOPT+MA97 CPU time — 746.5 s/trial for the monocular pipeline. Here the 10
-test trials are padded, stacked, and each stage solves as ONE vmapped batch
-on the accelerator (float32 throughout — every factorization is
-Jacobi-equilibrated): default kinematic FTE -> host-side contact detection ->
-physics-based FTE with per-frame torque/GRF elimination. Prints a single
-JSON line:
+reference spends 20.9 s (default kinematic) + 25.7 s (data-driven) +
+725.6 s (physics-based) of IPOPT+MA97 CPU time — 772.2 s/trial for the
+three-mode monocular pipeline. Here the 10 test trials are padded, stacked,
+and each stage solves as ONE vmapped batch on the accelerator (float32
+throughout — every factorization is Jacobi-equilibrated): default kinematic
+FTE -> data-driven FTE (GMM chain + AR anchors, the production bootstrap
+path) -> host-side contact detection -> physics-based FTE with per-frame
+torque/GRF elimination. Per-mode quality and timing are written to
+docs/artifacts/bench_modes.json; prints a single JSON line:
 
   {"metric": ..., "value": trials/min, "unit": "trials/min", "vs_baseline": x}
 
@@ -30,6 +32,7 @@ from cheetah_pose_estimation_tpu.utils.device import enable_compile_cache
 enable_compile_cache()
 
 BASELINE_DEFAULT_S = 20.9
+BASELINE_DD_S = 25.7
 BASELINE_PHYSICS_S = 725.6
 
 
@@ -160,21 +163,126 @@ def main():
                        axis=0) * fps
         return float(np.sqrt(np.mean(np.sum((cv_r - cv_g) ** 2, axis=1))))
 
+    def score(qs_batch):
+        """(mean MPE mm, mean MPJPE mm, mean CoM-vel RMSE) vs synthetic GT."""
+        mpes_, mpjpes_, cvs_ = [], [], []
+        for i, tr in enumerate(trials):
+            n = tr.q_gt.shape[0]
+            rec = np.asarray(sk.fk_markers(qs_batch[i, :n], subject))
+            err = rec - tr.markers_gt
+            mpes_.append(np.mean(np.linalg.norm(err, axis=2)) * 1e3)
+            errr = (rec - rec.mean(axis=1, keepdims=True)) \
+                - (tr.markers_gt - tr.markers_gt.mean(axis=1, keepdims=True))
+            mpjpes_.append(np.mean(np.linalg.norm(errr, axis=2)) * 1e3)
+            cvs_.append(comvel_rmse(qs_batch[i], tr, fpss[i]))
+        return (float(np.mean(mpes_)), float(np.mean(mpjpes_)),
+                float(np.mean(cvs_)))
+
     qs64 = np.asarray(st.q, np.float64)
-    mpes, kin_cvs = [], []
-    for i, tr in enumerate(trials):
-        n = tr.q_gt.shape[0]
-        rec = np.asarray(sk.fk_markers(qs64[i, :n], subject))
-        mpes.append(np.mean(np.linalg.norm(rec - tr.markers_gt, axis=2))
-                    * 1e3)
-        kin_cvs.append(comvel_rmse(qs64[i], tr, fpss[i]))
+    mpe_kin, mpjpe_kin, cv_kin = score(qs64)
     print(f"# kinematic: compile={kin_compile_s:.1f}s run={kin_s*1e3:.0f}ms "
-          f"MPE={np.mean(mpes):.0f}mm CoMvel={np.mean(kin_cvs):.3f}",
+          f"MPE={mpe_kin:.0f}mm MPJPE={mpjpe_kin:.0f}mm CoMvel={cv_kin:.3f}",
           file=sys.stderr)
+
+    # ---- stage 1.5: data-driven kinematic FTE (GMM chain + AR anchors) ----
+    # the production bootstrap-chain path of pipeline.batched: prior-free
+    # solve (stage 1's result) -> GMM-constrained refinement -> per-trial
+    # prior gate -> AR anchors from the accepted bootstrap -> final
+    # GMM+AR solve. Reference mode "data-driven" (run_dataset.py:1143-1231,
+    # baseline 25.7 s/trial, dataset_results.csv).
+    dd_stats = None
+    qs_dd64 = qs64
+    try:
+        from cheetah_pose_estimation_tpu.pipeline import estimator as est_mod
+        from cheetah_pose_estimation_tpu.priors import (
+            armodel, dataset as prior_ds, gmm as gmm_mod)
+        from cheetah_pose_estimation_tpu.utils import data_ops
+        from cheetah_pose_estimation_tpu.utils.device import host_cpu
+
+        with host_cpu():
+            dset = est_mod.DATA_DRIVEN_DATASET
+            df = prior_ds.load_pose_dataset(dset)
+            gp = gmm_mod.to_solver_prior(gmm_mod.fit(
+                df.iloc[:, 6:28].to_numpy(), n_components=5, seed=42,
+                cache_dir=data_ops.prior_cache_dir(dset)))
+            mm = armodel.train_motion_model(
+                dset, window_size=4, lasso=True,
+                cache_dir=data_ops.prior_cache_dir(dset))
+        bat_dd = jax.tree.map(jnp.asarray, batched)._replace(
+            gmm=jax.tree.map(lambda x: jnp.asarray(x, dtype), gp))
+        chain = kin.KinematicFTE(
+            kin.KinematicConfig(fisheye=True, robust=True, use_gmm=True),
+            subject)
+        vchain = jax.jit(jax.vmap(chain.make_solver()))
+        free = kin.KinematicFTE(kin.KinematicConfig(), subject)
+        vcost = jax.jit(jax.vmap(lambda q, d: free._cost(q, d, 1.0)))
+        fte_dd = kin.KinematicFTE(
+            kin.KinematicConfig(fisheye=True, robust=True, use_gmm=True,
+                                use_ar=True), subject)
+        vdd = jax.jit(jax.vmap(fte_dd.make_solver()))
+
+        def dd_host(st_free_q):
+            """Host part: prior gate + AR anchors from the bootstrap."""
+            st_chain = vchain(st_free_q, bat_dd)
+            c_free = np.asarray(vcost(st_free_q, bat_dd), np.float64)
+            c_chain = np.asarray(vcost(st_chain.q, bat_dd), np.float64)
+            broken = ~np.isfinite(c_chain) & np.isfinite(c_free)
+            if broken.any():
+                raise RuntimeError(
+                    f"dd chain non-finite on trials "
+                    f"{np.flatnonzero(broken).tolist()}")
+            prior_ok = c_chain <= 1.10 * c_free
+            qb = jnp.where(jnp.asarray(prior_ok)[:, None, None],
+                           st_chain.q, st_free_q)
+            qb_np = np.asarray(qb, np.float64)
+            fv = np.asarray(bat_dd.frame_valid)
+            ypreds, ws, valids = [], [], []
+            for i in range(B):
+                x_boot = np.asarray(sk.relative_pose(qb_np[i]))
+                yp, vl = armodel.anchor_predictions(mm, x_boot)
+                vl = vl * fv[i]
+                ws.append(armodel.adaptive_motion_weights(mm, yp, x_boot,
+                                                          vl))
+                ypreds.append(yp)
+                valids.append(vl)
+            bat = bat_dd._replace(ar=kin.ARAnchor(
+                jnp.asarray(np.stack(ypreds), dtype),
+                jnp.asarray(np.stack(ws), dtype),
+                jnp.asarray(np.stack(valids), dtype)))
+            return qb, bat, prior_ok
+
+        t0 = time.time()
+        qb, bat, prior_ok = dd_host(st.q)
+        st_dd = vdd(qb, bat)
+        st_dd.q.block_until_ready()
+        dd_compile_s = time.time() - t0
+        t0 = time.time()
+        for _ in range(reps):
+            qb, bat, prior_ok = dd_host(st.q)
+            st_dd = vdd(qb, bat)
+            st_dd.q.block_until_ready()
+        dd_s = (time.time() - t0) / reps
+        qs_dd64 = np.asarray(st_dd.q, np.float64)
+        mpe_dd, mpjpe_dd, cv_dd = score(qs_dd64)
+        dd_stats = {"mpe_mm": mpe_dd, "mpjpe_mm": mpjpe_dd,
+                    "comvel_rmse": cv_dd, "run_s": dd_s,
+                    "compile_s": dd_compile_s,
+                    "prior_ok": int(prior_ok.sum())}
+        print(f"# data-driven: compile={dd_compile_s:.1f}s "
+              f"run={dd_s*1e3:.0f}ms MPE={mpe_dd:.0f}mm "
+              f"MPJPE={mpjpe_dd:.0f}mm CoMvel={cv_dd:.3f} "
+              f"prior_ok={int(prior_ok.sum())}/{B}", file=sys.stderr)
+    except Exception:
+        traceback.print_exc(file=sys.stderr)
+        dd_stats = None
 
     # ---- stage 2: contacts + physics-based FTE (batched) ------------------
     try:
-        qs_default = [qs64[i, : tr.q_gt.shape[0]]
+        # warm-start from the data-driven stage when it ran (the production
+        # pipeline's physics mode loads the data-driven artifacts,
+        # pipeline/batched.py run_physics_batched)
+        qs_warm_src = qs_dd64 if dd_stats is not None else qs64
+        qs_default = [qs_warm_src[i, : tr.q_gt.shape[0]]
                       for i, tr in enumerate(trials)]
         # per-trial ground elevation from the GT feet (the synthetic stand-in
         # for the reference's metadata ground_plane_height — AcinoSet world
@@ -227,35 +335,59 @@ def main():
         phys_s = (time.time() - t0) / reps
         host_s /= reps
         kqs = np.concatenate([np.asarray(s.q, np.float64) for s in ksts])
-        kmpes, phys_cvs = [], []
-        for i, tr in enumerate(trials):
-            n = tr.q_gt.shape[0]
-            rec = np.asarray(sk.fk_markers(kqs[i, :n], subject))
-            kmpes.append(np.mean(np.linalg.norm(rec - tr.markers_gt,
-                                                axis=2)) * 1e3)
-            phys_cvs.append(comvel_rmse(kqs[i], tr, fpss[i]))
+        mpe_phys, mpjpe_phys, cv_phys = score(kqs)
+        warm_cv = dd_stats["comvel_rmse"] if dd_stats is not None else cv_kin
         # Quality gates: (a) the physics stage must not degrade the
-        # kinematic reconstruction it warm-starts from (1.02x leaves room
+        # reconstruction it warm-starts from (1.02x leaves room
         # for per-trial noise while catching any regression to the round-1
         # "physics makes it worse" behavior); (b) it must IMPROVE mean
-        # CoM-velocity RMSE — the dynamics-level quantity the stage owns
-        # (the reference's physics mode pattern 0.70 -> 0.50, BASELINE.md;
-        # here the grf_max cap + base-translation deadband make the
-        # eliminated contact forces correct depth wobble instead of
+        # CoM-velocity RMSE vs its warm start — the dynamics-level quantity
+        # the stage owns (the reference's physics mode pattern 0.70 -> 0.50,
+        # BASELINE.md; here the grf_max cap + base-translation deadband make
+        # the eliminated contact forces correct depth wobble instead of
         # absorbing it).
+        warm_mpe = dd_stats["mpe_mm"] if dd_stats is not None else mpe_kin
         ok = bool(np.all(np.isfinite(kqs))) \
-            and np.mean(kmpes) < 1.02 * np.mean(mpes) \
-            and np.mean(phys_cvs) < np.mean(kin_cvs)
+            and mpe_phys < 1.02 * warm_mpe \
+            and cv_phys < warm_cv
         print(f"# physics: compile={phys_compile_s:.1f}s host={host_s:.1f}s "
-              f"run={phys_s*1e3:.0f}ms MPE={np.mean(kmpes):.0f}mm "
-              f"CoMvel={np.mean(phys_cvs):.3f} "
-              f"(kin {np.mean(kin_cvs):.3f}) ok={ok}",
+              f"run={phys_s*1e3:.0f}ms MPE={mpe_phys:.0f}mm "
+              f"MPJPE={mpjpe_phys:.0f}mm CoMvel={cv_phys:.3f} "
+              f"(warm {warm_cv:.3f}) ok={ok}",
               file=sys.stderr)
     except Exception:
         traceback.print_exc(file=sys.stderr)
         ok = False
 
+    # per-mode artifact (VERDICT r3 #6: the driver must capture quality AND
+    # perf for all three reference modes, run_dataset.py:1143-1231)
+    modes_out = {"default": {"mpe_mm": mpe_kin, "mpjpe_mm": mpjpe_kin,
+                             "comvel_rmse": cv_kin,
+                             "run_s_per_trial": kin_s / B,
+                             "compile_s": kin_compile_s}}
+    if dd_stats is not None:
+        dd_stats["run_s_per_trial"] = dd_stats.pop("run_s") / B
+        modes_out["data_driven"] = dd_stats
     if ok:
+        modes_out["physics_based"] = {
+            "mpe_mm": mpe_phys, "mpjpe_mm": mpjpe_phys,
+            "comvel_rmse": cv_phys, "run_s_per_trial": phys_s / B,
+            "compile_s": phys_compile_s}
+    try:
+        import os
+        os.makedirs("docs/artifacts", exist_ok=True)
+        with open("docs/artifacts/bench_modes.json", "w",
+                  encoding="utf-8") as f:
+            json.dump({"device": jax.devices()[0].platform,
+                       "n_trials": B, "modes": modes_out}, f, indent=1)
+    except OSError:
+        pass
+
+    if ok and dd_stats is not None:
+        s_per_trial = (kin_s + dd_stats["run_s_per_trial"] * B + phys_s) / B
+        baseline = BASELINE_DEFAULT_S + BASELINE_DD_S + BASELINE_PHYSICS_S
+        metric = "monocular_pipeline_3mode"
+    elif ok:
         # phys_s already includes the steady-state host prep (timed in-loop)
         s_per_trial = (kin_s + phys_s) / B
         baseline = BASELINE_DEFAULT_S + BASELINE_PHYSICS_S

@@ -342,7 +342,11 @@ def cr_solve(H: BlockBanded, b: jnp.ndarray, refine: int = 1) -> jnp.ndarray:
     substitution + one banded matvec — the O(M D^3) factor work is not
     repeated. Measured at (B=10, N=64, d=54) production shape: raw CR is
     ~1e-1 off the scan under default TPU matmul precision and ~1e-3 at
-    "highest"; one refinement pass lands under 1e-5.
+    "highest"; with one refinement pass the END-TO-END relative error vs
+    the scan on real damped normal systems is ~7e-4 at both production
+    shapes (docs/artifacts/linsolve_bench.json — the authoritative
+    number; idealized well-conditioned systems refine further, but quote
+    the bench).
     """
     with jax.default_matmul_precision("highest"):
         N, d = H.nblocks, H.block

@@ -138,11 +138,18 @@ MULTISTART_MARGIN = 0.01
 
 def _pick_restart(st, margin: float):
     """Per-trial restart selection from an LMState batched (R, B, ...):
-    restart 0 (unperturbed) unless an alternative beats it by > margin."""
-    c0 = st.cost[0]                                         # (B,)
-    alt = jnp.argmin(st.cost[1:], axis=0) + 1               # (B,)
-    c_alt = jnp.take_along_axis(st.cost, alt[None], axis=0)[0]
+    restart 0 (unperturbed) unless an alternative beats it by > margin.
+    Non-finite lane costs are demoted to +inf first — without this a NaN
+    unperturbed lane wins every comparison (``c_alt < (1-m)*NaN`` is False)
+    and a finite perturbed lane can never replace it (VERDICT r3 Weak #6)."""
+    cost = jnp.where(jnp.isfinite(st.cost), st.cost, jnp.inf)
+    c0 = cost[0]                                            # (B,)
+    alt = jnp.argmin(cost[1:], axis=0) + 1                  # (B,)
+    c_alt = jnp.take_along_axis(cost, alt[None], axis=0)[0]
     best = jnp.where(c_alt < (1.0 - margin) * c0, alt, 0)
+    # if the unperturbed lane is non-finite, take any finite alternative
+    # even when the margin rule would not fire
+    best = jnp.where(jnp.isinf(c0) & jnp.isfinite(c_alt), alt, best)
 
     def pick(x):
         idx = best.reshape((1,) + best.shape + (1,) * (x.ndim - 2))
@@ -208,20 +215,33 @@ def make_multistart_probe(probe_run, full_run,
     equal reconstruction quality (docs/artifacts). The probe/full stage
     split must reproduce the full solver's schedule for the unperturbed
     lane to be solution-equivalent to a single-start solve.
+
+    Probe and full are deliberately compiled as SEPARATE XLA programs
+    (with the tiny restart pick in the probe's): XLA's optimization passes
+    are superlinear in program size, and one fused program holding both
+    solver bodies cold-compiled in 937 s on the v5e tunnel vs ~99 s for a
+    single body in round 2 (BENCH_r03/r02, VERDICT r3 Weak #5). The only
+    price is one host round-trip for the selected probe states between the
+    two programs.
     """
     offs = tuple(float(o) for o in offsets)
     R = len(offs)
 
     @jax.jit
-    def solve_all(q0b, batched):
+    def probe_all(q0b, batched):
         B = q0b.shape[0]
         q0r = jnp.concatenate([q0b.at[:, :, 5].add(o) for o in offs])
         rep = jax.tree.map(
             lambda x: jnp.tile(x, (R,) + (1,) * (x.ndim - 1)), batched)
         st = jax.vmap(probe_run)(q0r, rep)
         st = jax.tree.map(lambda x: x.reshape((R, B) + x.shape[1:]), st)
-        sel = _pick_restart(st, margin)
-        return jax.vmap(full_run)(sel.q, batched)
+        return _pick_restart(st, margin)
+
+    finish = jax.jit(lambda qsel, batched: jax.vmap(full_run)(qsel, batched))
+
+    def solve_all(q0b, batched):
+        sel = probe_all(q0b, batched)
+        return finish(sel.q, batched)
 
     return solve_all
 

@@ -222,6 +222,21 @@ def run_monocular_batched(root_dir: str, dir_prefix: str,
                     lambda q, d: free._cost(q, d, 1.0)))
                 c_free = np.asarray(vcost(st_free.q, batched), np.float64)
                 c_chain = np.asarray(vcost(st_chain.q, batched), np.float64)
+                # the gate arbitrates between two FINITE solutions (the
+                # learned manifold may legitimately contradict a trial's
+                # measurements). A NON-finite chain cost on a trial whose
+                # prior-free solve is finite is not a data property — it
+                # means the prior machinery itself (GMM/AR inputs, solver)
+                # is broken, and silently shipping prior-free would mask it
+                # (round 3 shipped a NaN-poisoned AR cache this way,
+                # VERDICT r3 Weak #1c). Fail loudly instead.
+                broken = ~np.isfinite(c_chain) & np.isfinite(c_free)
+                if broken.any():
+                    raise RuntimeError(
+                        "data-driven prior chain produced non-finite costs "
+                        f"on trials {np.flatnonzero(broken).tolist()} whose "
+                        "prior-free solves are finite — the prior inputs "
+                        "(GMM/AR model) are corrupt, not the data")
                 prior_ok = c_chain <= prior_guard_ratio * c_free
                 if verbose and not prior_ok.all():
                     print(f"[batched] prior gate: {int(prior_ok.sum())}/"
@@ -240,9 +255,14 @@ def run_monocular_batched(root_dir: str, dir_prefix: str,
                         mms[i], yp, x_boot, vl))
                     ypreds.append(yp)
                     valids.append(vl)
+                yp_b, w_b = np.stack(ypreds), np.stack(ws)
+                if not (np.isfinite(yp_b).all() and np.isfinite(w_b).all()):
+                    raise RuntimeError(
+                        "AR anchor predictions/weights are non-finite — "
+                        "motion-model inputs are corrupt")
                 batched = batched._replace(ar=kin.ARAnchor(
-                    jnp.asarray(np.stack(ypreds), dtype),
-                    jnp.asarray(np.stack(ws), dtype),
+                    jnp.asarray(yp_b, dtype),
+                    jnp.asarray(w_b, dtype),
                     jnp.asarray(np.stack(valids), dtype)))
                 q0b = qb
             cfg = kin.KinematicConfig(

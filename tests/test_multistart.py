@@ -116,3 +116,41 @@ def test_probe_full_stage_split_covers_default_schedule():
     default = inspect.signature(kin.KinematicFTE.make_solver) \
         .parameters["stages"].default
     assert pbatch.PROBE_STAGES + pbatch.FULL_STAGES == default
+
+
+def test_pick_restart_nan_guard():
+    """A NaN unperturbed lane must lose to any finite perturbed lane — the
+    margin comparison is False against NaN, so without the guard the NaN
+    lane wins (VERDICT r3 Weak #6; live during the r3 prior poisoning)."""
+    B, N = 2, 4
+
+    def run(q0, data):
+        # unperturbed heading (0.0) -> NaN cost; perturbed -> finite
+        trapped = jnp.abs(q0[0, 5]) < 1e-6
+        cost = jnp.where(trapped, jnp.nan, jnp.abs(q0[0, 5]))
+        z = jnp.zeros(())
+        return LMState(q=q0, cost=cost, lam=z, nu=z, it=z, done=z,
+                       n_accepted=z)
+
+    st = pbatch.multistart(run, jnp.zeros((B, N, 54)),
+                           {"unused": jnp.zeros(B)},
+                           offsets=(0.0, 0.3, -0.3))
+    assert np.isfinite(np.asarray(st.cost)).all()
+    np.testing.assert_allclose(np.abs(np.asarray(st.q[:, :, 5])), 0.3,
+                               atol=1e-6)
+
+
+def test_pick_restart_all_nan_stays_unperturbed():
+    """If every lane is non-finite the unperturbed restart is kept (no
+    arbitrary perturbed state should ship)."""
+    B, N = 1, 3
+
+    def run(q0, data):
+        z = jnp.zeros(())
+        return LMState(q=q0, cost=jnp.full((), jnp.nan), lam=z, nu=z, it=z,
+                       done=z, n_accepted=z)
+
+    st = pbatch.multistart(run, jnp.zeros((B, N, 54)),
+                           {"unused": jnp.zeros(B)},
+                           offsets=(0.0, 0.3, -0.3))
+    np.testing.assert_allclose(np.asarray(st.q[:, :, 5]), 0.0, atol=1e-6)
