@@ -51,7 +51,8 @@ def linsolve_bench(out_path="docs/artifacts/linsolve_bench.json"):
 
     def bench_shape(B, N, tag):
         batched, q0b, _, _ = bench_lib.build_batch(
-            max_trials=B, n_frames=N)
+            max_trials=min(B, 10), n_frames=N,
+            repeat_to=B if B > 10 else None)
         fte = kin.KinematicFTE(kin.KinematicConfig(), subject)
 
         @jax.jit
@@ -92,8 +93,13 @@ def linsolve_bench(out_path="docs/artifacts/linsolve_bench.json"):
                       file=sys.stderr)
         return {"shape": {"B": B, "N": N, "d": 54}, "results": out}
 
+    # B=40/160 probe chip saturation (ADVICE r3 #1: the scan-vs-CR default
+    # was flipped on B=10/B=1 evidence alone; the chip saturates near
+    # batch 160, where the scan's serial depth amortizes differently)
     cases = {"batched_production": bench_shape(10, 64, "B10xN64"),
-             "long_trial_single": bench_shape(1, 256, "B1xN256")}
+             "long_trial_single": bench_shape(1, 256, "B1xN256"),
+             "batched_medium": bench_shape(40, 64, "B40xN64"),
+             "batched_saturated": bench_shape(160, 64, "B160xN64")}
     import os
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w", encoding="utf-8") as f:

@@ -126,20 +126,24 @@ def _trsm_t_b(l, b):
 
 
 def _fwd_kernel(diag_ref, l1_ref, l2_ref, l3_ref, rhs_ref,
-                lrow_ref, ldiag_ref, y_ref,
-                lwin, ldwin, ywin):
+                lrow1_ref, lrow2_ref, lrow3_ref, ldiag_ref, y_ref,
+                lwin1, lwin2, lwin3, ldwin, ywin):
     """Forward factorization + substitution for frame t = program_id(0).
 
     Block inputs at t: diag (1, B, D, D); lj = H[t, t-j] (masked t < j);
-    rhs (1, B, D). Outputs at t: lrow (1, BW, B, D, D), ldiag
+    rhs (1, B, D). Outputs at t: lrowj (1, B, D, D) per band, ldiag
     (1, B, D, D), y (1, B, D). Rolling scratch windows over the last BW
-    frames: lwin (BW, BW, B, D, D), ldwin (BW, B, D, D), ywin (BW, B, D),
+    frames, one 4-D buffer per band — every ref stays <= 4-D (5-D
+    BlockSpecs/scratch were the round-3 Mosaic-compile failure):
+    lwinj (BW, B, D, D), ldwin (BW, B, D, D), ywin (BW, B, D),
     slot s(t) = t mod BW.
     """
     t = pl.program_id(0)
     B = diag_ref.shape[1]
     dtype = diag_ref.dtype
     lrefs = (l1_ref, l2_ref, l3_ref)
+    lrows = (lrow1_ref, lrow2_ref, lrow3_ref)
+    lwins = (lwin1, lwin2, lwin3)
 
     # L[t, t-j] for j = BW..1 (trailing blocks first, as each depends on
     # the later ones through the cross terms)
@@ -151,7 +155,7 @@ def _fwd_kernel(diag_ref, l1_ref, l2_ref, l3_ref, rhs_ref,
             # M -= L[t, t-k] @ L[t-j, (t-j)-(k-j)]^T   (row t-j, band k-j)
             # (scratch slots of virtual frames are UNWRITTEN - mask with
             # where, never by multiplication: NaN * 0 = NaN)
-            prev = jnp.where(t >= j, lwin[(t - j) % BW, (k - j) - 1], 0.0)
+            prev = jnp.where(t >= j, lwins[(k - j) - 1][(t - j) % BW], 0.0)
             M = M - _bmm_t(blocks[k], prev)
         # Ld of frame t-j: identity on masked/virtual frames keeps the
         # triangular solve well-defined with a zero result
@@ -173,8 +177,8 @@ def _fwd_kernel(diag_ref, l1_ref, l2_ref, l3_ref, rhs_ref,
 
     # stream to HBM for the backward pass + refresh the rolling window
     for j in range(1, BW + 1):
-        lrow_ref[0, j - 1] = blocks[j]
-        lwin[t % BW, j - 1] = blocks[j]
+        lrows[j - 1][0] = blocks[j]
+        lwins[j - 1][t % BW] = blocks[j]
     ldiag_ref[0] = Ld
     ldwin[t % BW] = Ld
     y_ref[0] = y
@@ -185,8 +189,9 @@ def _bwd_kernel(lr1_ref, lr2_ref, lr3_ref, ldiag_ref, y_ref, x_ref, xwin):
     """Backward substitution for frame t = N-1-program_id(0):
     x[t] = Ldiag[t]^{-T} (y[t] - sum_j L[t+j, t]^T x[t+j]).
 
-    Block inputs: lrj = L[t+j, t] (clamped reads, masked t+j > N-1);
-    xwin (BW, B, D) rolling window of the last BW solved frames.
+    Block inputs: lrj (1, B, D, D) = L[t+j, t] from the per-band forward
+    outputs (clamped reads, masked t+j > N-1); xwin (BW, B, D) rolling
+    window of the last BW solved frames.
     """
     i = pl.program_id(0)
     N = pl.num_programs(0)
@@ -197,7 +202,7 @@ def _bwd_kernel(lr1_ref, lr2_ref, lr3_ref, ldiag_ref, y_ref, x_ref, xwin):
     s = y_ref[0]
     for j in range(1, BW + 1):
         valid = (t + j <= N - 1).astype(dtype)
-        Lj = lrefs[j - 1][0, 0] * valid
+        Lj = lrefs[j - 1][0] * valid
         xj = jnp.where(t + j <= N - 1, xwin[(t + j) % BW], 0.0)
         # s -= L[t+j, t]^T x[t+j]  (explicit transpose: Mosaic requires
         # the contracting dim to be the last dim of both operands)
@@ -243,7 +248,7 @@ def pallas_banded_solve_batched(diag: jnp.ndarray, lower: jnp.ndarray,
                             lambda t, j=j: (jnp.maximum(t - j, 0), 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    lrow, ldiag, ys = pl.pallas_call(
+    lrow1, lrow2, lrow3, ldiag, ys = pl.pallas_call(
         _fwd_kernel,
         grid=(N,),
         in_specs=[
@@ -254,7 +259,11 @@ def pallas_banded_solve_batched(diag: jnp.ndarray, lower: jnp.ndarray,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, BW, Bt, D, D), lambda t: (t, 0, 0, 0, 0),
+            pl.BlockSpec((1, Bt, D, D), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bt, D, D), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bt, D, D), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Bt, D, D), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -262,12 +271,16 @@ def pallas_banded_solve_batched(diag: jnp.ndarray, lower: jnp.ndarray,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((N, BW, Bt, D, D), dtype),
+            jax.ShapeDtypeStruct((N, Bt, D, D), dtype),
+            jax.ShapeDtypeStruct((N, Bt, D, D), dtype),
+            jax.ShapeDtypeStruct((N, Bt, D, D), dtype),
             jax.ShapeDtypeStruct((N, Bt, D, D), dtype),
             jax.ShapeDtypeStruct((N, Bt, D), dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((BW, BW, Bt, D, D), dtype),
+            pltpu.VMEM((BW, Bt, D, D), dtype),
+            pltpu.VMEM((BW, Bt, D, D), dtype),
+            pltpu.VMEM((BW, Bt, D, D), dtype),
             pltpu.VMEM((BW, Bt, D, D), dtype),
             pltpu.VMEM((BW, Bt, D), dtype),
         ],
@@ -275,12 +288,11 @@ def pallas_banded_solve_batched(diag: jnp.ndarray, lower: jnp.ndarray,
     )(diag_t, lower_t[0], lower_t[1], lower_t[2], rhs_t)
 
     def lrspec(j):
-        # lrj block at grid step i reads L[t+j, band j-1], t = N-1-i
+        # lrj block at grid step i reads lrowj[t+j] = L[t+j, t], t = N-1-i
         # (clamped at the right edge; the kernel masks t+j > N-1)
         return pl.BlockSpec(
-            (1, 1, Bt, D, D),
-            lambda i, j=j: (jnp.minimum(N - 1 - i + j, N - 1), j - 1,
-                            0, 0, 0),
+            (1, Bt, D, D),
+            lambda i, j=j: (jnp.minimum(N - 1 - i + j, N - 1), 0, 0, 0),
             memory_space=pltpu.VMEM)
 
     x = pl.pallas_call(
@@ -298,7 +310,7 @@ def pallas_banded_solve_batched(diag: jnp.ndarray, lower: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((N, Bt, D), dtype),
         scratch_shapes=[pltpu.VMEM((BW, Bt, D), dtype)],
         interpret=interpret,
-    )(lrow, lrow, lrow, ldiag, ys)
+    )(lrow1, lrow2, lrow3, ldiag, ys)
 
     return x.transpose(1, 0, 2)[:, :, :d]
 

@@ -51,11 +51,16 @@ class LMConfig(NamedTuple):
     # production default. "scan": sequential banded Cholesky over time
     # (lowest FLOPs, bit-stable reference; the batch axis provides the
     # parallelism).
-    # "pallas": the batched streaming Pallas factorization
-    # (ops.pallas_banded) — under vmap the whole trial batch enters ONE
+    # "pallas": EXPERIMENTAL — the batched streaming Pallas factorization
+    # (ops.pallas_banded): under vmap the whole trial batch enters ONE
     # kernel (collective custom_vmap rule) whose sequential eliminations
     # are vectorized across trials and whose factors stream through VMEM,
     # so trial length is HBM-bounded (interpret-mode on non-TPU backends).
+    # Compiles and solves accurately on the real v5e (rel err ~7e-6,
+    # docs/artifacts/pallas_tpu_check.txt) but is measured SLOWER than
+    # scan/cr at every production shape (23.8 vs 20.4 ms at B10xN64; 8x
+    # at B1xN256, where its masked per-column eliminations serialize) —
+    # use cr or scan in production.
     linear_solver: str = "cr"
 
 

@@ -24,6 +24,18 @@ def enable_compile_cache(path: str = None) -> None:
     # CPU process loading those AOT entries risks SIGILL
     plat = os.environ.get("JAX_PLATFORMS", "default").split(",")[0] or \
         "default"
+    if plat == "cpu":
+        # CPU AOT entries are ISA-feature-specific too: a cache populated
+        # on one host emits "machine type doesn't match ... could lead to
+        # SIGILL" when loaded on another (observed with avx512 subset
+        # mismatches), so key the subdir by the host's CPU feature set
+        import hashlib
+        try:
+            with open("/proc/cpuinfo", encoding="utf-8") as f:
+                flags = next((ln for ln in f if ln.startswith("flags")), "")
+            plat = "cpu-" + hashlib.md5(flags.encode()).hexdigest()[:10]
+        except OSError:
+            pass
     if os.environ.get("CHEETAH_NO_COMPILE_CACHE"):
         return
     p = path or os.path.join(os.environ.get(
