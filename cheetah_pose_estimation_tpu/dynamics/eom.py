@@ -228,8 +228,17 @@ def build_torque_map() -> TorqueMap:
             ia = sk.LINK_INDEX[a]
             ib = sk.LINK_INDEX[b]
             off = _axis_offset(ax)
-            col[(3 if ia == 0 else 3 * ia + 3) + off] -= 1.0
-            col[(3 if ib == 0 else 3 * ib + 3) + off] += 1.0
+            # sign convention: +tau acts on the PARENT link a, reaction on
+            # the child b — matching the reference's add_torque Tc sign
+            # (validated against its shipped kinetic solutions: with the
+            # opposite convention every solved torque came out as ~-Tc —
+            # flight-phase RMSE ~1.9x the reference RMS and stance-curve
+            # correlation ~-0.85; with this one the curves correlate
+            # positively, docs/artifacts/grf_parity.csv). B.tau is
+            # invariant under flipping (B, tau) jointly, so the dynamics
+            # and every solve are unchanged — only exported tau signs.
+            col[(3 if ia == 0 else 3 * ia + 3) + off] += 1.0
+            col[(3 if ib == 0 else 3 * ib + 3) + off] -= 1.0
             cols.append(col)
             names.append(f"{base_name}:{ax}")
     return TorqueMap(B=np.stack(cols, axis=1), names=tuple(names))

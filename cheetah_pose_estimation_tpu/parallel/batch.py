@@ -253,13 +253,39 @@ def make_multistart_probe(probe_run, full_run,
 PROBE_STAGES: Tuple[Tuple[float, int], ...] = ((10.0, 30),)
 FULL_STAGES: Tuple[Tuple[float, int], ...] = ((3.0, 30), (1.0, 150))
 
+# Banded-backend crossover (v5e, docs/artifacts/linsolve_bench.json): CR's
+# O(log N) elimination wins while the batch leaves MXU slack (17.4 vs
+# 22.0 ms at B=10), but once the batch axis saturates the chip the scan's
+# lower FLOP count wins (48.6 vs 74.1 ms at B=40, 152 vs 305 ms at B=160).
+CR_MAX_BATCH = 16
+
+
+def backend_for(batch_size: int) -> str:
+    """Measured-fastest banded linear solver for a vmapped batch size."""
+    return "cr" if batch_size <= CR_MAX_BATCH else "scan"
+
 
 def make_kinematic_multistart(fte, margin: float = MULTISTART_MARGIN):
     """The production monocular solver: probe-multistart over the default
-    annealing schedule of ``KinematicFTE.make_solver``."""
-    probe = fte.make_solver(stages=PROBE_STAGES, driver="scan")
-    full = fte.make_solver(stages=FULL_STAGES)
-    return make_multistart_probe(probe, full, margin=margin)
+    annealing schedule of ``KinematicFTE.make_solver``.
+
+    Backends are chosen per stage by the lanes each actually runs: the
+    probe always fans out to ``len(HEADING_RESTARTS) * B`` lanes (scan
+    territory at the production B=10 -> 30 lanes), the full stage runs B
+    winners (picked at call time via :func:`backend_for`).
+    """
+    probe = fte.make_solver(stages=PROBE_STAGES, driver="fixed",
+                            linear_solver="scan")
+    solvers = {
+        lin: make_multistart_probe(
+            probe, fte.make_solver(stages=FULL_STAGES, linear_solver=lin),
+            margin=margin)
+        for lin in ("cr", "scan")}
+
+    def run(q0b, batched):
+        return solvers[backend_for(q0b.shape[0])](q0b, batched)
+
+    return run
 
 
 def multistart(run, q0b, batched,

@@ -115,14 +115,52 @@ def solve_forces_at(q: np.ndarray, stance: np.ndarray, subject_name: str,
     return np.asarray(tau), np.asarray(gz), np.asarray(gxy)
 
 
+# The 12 leg pitch (sagittal, about-y) motor columns: hip/knee/hock per
+# leg. These drive the reference's gait-analysis torque curves
+# (results.py:546-751) and are the torque channel with biomechanical truth.
+_LEG_PITCH = tuple(i for i, nm in enumerate(dyn.TORQUE_MAP.names)
+                   if ("hip-pitch" in nm
+                       or ("_torque:y" in nm and nm[0] in "UL"
+                           and nm[1] in "FB")))
+
+
+def _stance_curve(x: np.ndarray, stance_col: np.ndarray,
+                  n_pts: int = 50) -> Optional[np.ndarray]:
+    """Longest contiguous stance window of a foot, resampled to n_pts
+    (the reference's stance-normalized gait curves, results.py:546-620)."""
+    on = np.flatnonzero(stance_col > 0)
+    if on.size < 4:
+        return None
+    splits = np.split(on, np.flatnonzero(np.diff(on) > 1) + 1)
+    w = max(splits, key=len)
+    if len(w) < 4:
+        return None
+    t = np.linspace(0, len(w) - 1, n_pts)
+    return np.interp(t, np.arange(len(w)), x[w])
+
+
 def grf_parity(out_csv: Optional[str] = "docs/artifacts/grf_parity.csv",
                root: str = KINETIC_ROOT, verbose: bool = True):
     """Per-trial force parity table vs the reference's solved physics.
 
-    Columns: gz_rmse_bw (all frames x feet), stance_gz_rmse_bw (stance
+    GRF columns: gz_rmse_bw (all frames x feet), stance_gz_rmse_bw (stance
     frames only), tot_grf_corr (total vertical force correlation over
-    frames), peak_gz_[ours|ref]_bw, tau_rmse_bw, tau_ref_rms_bw. The first
-    two frames are excluded (backward-difference derivative boundary).
+    frames), peak_gz_[ours|ref]_bw. The first two frames are excluded
+    (backward-difference derivative boundary).
+
+    Torque columns, split by IDENTIFIABILITY: given the trajectory, the
+    motor torques are recoverable by back-substitution leaf-to-root from
+    the EOM rows — EXCEPT during stance, where the unknown contact force
+    enters the same leg rows and the torque/GRF split is resolved only by
+    each solver's regularization (the reference's torque_squared penalty
+    through IPOPT vs our ridge-regularized per-frame elimination). So:
+    ``tau_flight_rmse_bw`` scores frames with NO foot in stance (fully
+    identifiable — the apples-to-apples number), ``tau_stance_rmse_bw``
+    the rest (regularization-dependent, reported for completeness), and
+    ``sagittal_curve_corr`` the shape correlation of the stance-normalized
+    leg pitch-torque curves (hip/knee/hock per stance window, the
+    reference's gait-analysis semantics, results.py:546-751) — shape is
+    insensitive to how the regularizers distribute magnitude.
     """
     import pandas as pd
 
@@ -137,6 +175,21 @@ def grf_parity(out_csv: Optional[str] = "docs/artifacts/grf_parity.csv",
             m = stance[sl] > 0
             d_gz = gz[sl] - ref["grf_z"][sl]
             tot, tot_ref = gz[sl].sum(1), ref["grf_z"][sl].sum(1)
+            d_tau = tau[sl] - ref["tau"][sl]
+            flight = stance[sl].sum(axis=1) == 0
+            leg = np.asarray(_LEG_PITCH)
+            # stance-normalized sagittal torque curve shape, per foot's
+            # longest stance window, hip/knee/hock of that leg
+            curve_corrs = []
+            for f in range(4):
+                for j in range(3):       # hip, knee, hock of leg f
+                    col = leg[3 * f + j]
+                    a = _stance_curve(tau[:, col], stance[:, f])
+                    b = _stance_curve(ref["tau"][:, col], stance[:, f])
+                    if a is None or b is None or np.std(a) < 1e-9 \
+                            or np.std(b) < 1e-9:
+                        continue
+                    curve_corrs.append(float(np.corrcoef(a, b)[0, 1]))
             rows.append(dict(
                 trial=os.path.relpath(tdir, root), n_frames=len(ref["q"]),
                 gz_rmse_bw=float(np.sqrt(np.mean(d_gz ** 2))),
@@ -145,15 +198,25 @@ def grf_parity(out_csv: Optional[str] = "docs/artifacts/grf_parity.csv",
                 tot_grf_corr=float(np.corrcoef(tot, tot_ref)[0, 1]),
                 peak_gz_ours_bw=float(gz.max()),
                 peak_gz_ref_bw=float(ref["grf_z"].max()),
-                tau_rmse_bw=float(np.sqrt(np.mean(
-                    (tau[sl] - ref["tau"][sl]) ** 2))),
+                tau_rmse_bw=float(np.sqrt(np.mean(d_tau ** 2))),
                 tau_ref_rms_bw=float(np.sqrt(np.mean(ref["tau"][sl] ** 2))),
+                tau_flight_rmse_bw=float(np.sqrt(np.mean(
+                    d_tau[flight] ** 2))) if flight.any() else np.nan,
+                tau_flight_ref_rms_bw=float(np.sqrt(np.mean(
+                    ref["tau"][sl][flight] ** 2)))
+                if flight.any() else np.nan,
+                tau_stance_rmse_bw=float(np.sqrt(np.mean(
+                    d_tau[~flight] ** 2))) if (~flight).any() else np.nan,
+                sagittal_curve_corr=float(np.mean(curve_corrs))
+                if curve_corrs else np.nan,
+                n_stance_curves=len(curve_corrs),
             ))
             if verbose:
                 r = rows[-1]
                 print(f"[grf_parity] {r['trial']}: gz_rmse={r['gz_rmse_bw']:.3f} "
                       f"corr={r['tot_grf_corr']:.3f} "
-                      f"peak {r['peak_gz_ours_bw']:.2f}/{r['peak_gz_ref_bw']:.2f}")
+                      f"tau_flight={r['tau_flight_rmse_bw']:.3f} "
+                      f"curve_corr={r['sagittal_curve_corr']:.3f}")
     df = pd.DataFrame(rows)
     if out_csv:
         os.makedirs(os.path.dirname(out_csv), exist_ok=True)

@@ -185,7 +185,11 @@ def run_grid_search_batched(root_dir: str, dir_prefix: str, test_set: Tuple,
         fte = kin.KinematicFTE(
             kin.KinematicConfig(fisheye=True, robust=True, use_gmm=True,
                                 use_ar=True), subject)
-        state = jax.jit(jax.vmap(fte.make_solver()))(q0b, batched)
+        # config x trial lanes saturate the chip (240 at the default grid)
+        # -> scan beats CR there (parallel.batch.backend_for)
+        run = fte.make_solver(
+            linear_solver=pbatch.backend_for(q0b.shape[0]))
+        state = jax.jit(jax.vmap(run))(q0b, batched)
         qs = np.asarray(state.q, np.float64)
         for i, (cfg_key, data_path, est) in enumerate(metasets):
             gt_p = os.path.join(dir_prefix, data_path, "fte_kinematic",
@@ -534,6 +538,127 @@ def run_degradation_sweep(rates: Tuple[float, ...] = (0.0, 1.0, 2.0, 4.0,
         os.makedirs(out_dir, exist_ok=True)
         out.to_csv(os.path.join(out_dir, "degradation_sweep.csv"),
                    index=False)
+    return out
+
+
+def run_deadband_sweep(base_deadbands: Tuple = (None, 0.1, 0.05, 0.02,
+                                                0.01, 0.0),
+                       grf_maxes: Tuple[float, ...] = (5.0, 3.0),
+                       n_frames: int = 64, max_trials: int = 10,
+                       out_dir: Optional[str] = None,
+                       verbose: bool = True) -> pd.DataFrame:
+    """Physics-stage CoM-dynamics leverage curve.
+
+    The base-translation EOM deadband (solver.kinetic.KineticConfig
+    .base_deadband) and the GRF cap (grf_max) were built to make the
+    physics stage OWN the CoM-velocity metric (the reference's physics
+    mode takes CoM-vel RMSE 0.70 -> 0.50 m/s, BASELINE.md /
+    dataset_results.csv), but round 3 measured only a 0.8 % win at the
+    shipped (0.05, 5.0). This sweep measures the actual response surface
+    on the clean synthetic 10-trial set: per configuration, the batched
+    physics solve warm-starts from ONE shared default-mode kinematic
+    solution and is scored against the true synthetic GT (CoM-velocity
+    RMSE + MPE). ``base_deadband=None`` uses the relative EOM floor for
+    the base rows (the round-2 behavior the deadband was meant to fix).
+    Writes ``deadband_sweep.csv``.
+    """
+    import dataclasses as _dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import params as params_mod
+    from ..models import skeleton as sk
+    from ..parallel import batch as pbatch
+    from ..solver import kinematic as kin
+    from ..solver import kinetic as kn
+    from ..utils.device import host_cpu
+    from . import bench_lib
+    from . import contacts as contacts_mod
+
+    subject = params_mod.get_subject("acinoset")
+    trajs = bench_lib.load_reference_trajectories(max_trials)
+    datas, q0s, trials, fpss = [], [], [], []
+    for i, (q_gt, name, fps) in enumerate(trajs):
+        d, q0, tr = bench_lib.build_monocular_problem(q_gt, "acinoset",
+                                                      fps, seed=i)
+        datas.append(d)
+        q0s.append(q0)
+        trials.append(tr)
+        fpss.append(fps)
+    bat, q0b = pbatch.pad_and_stack(datas, q0s, n_frames=n_frames,
+                                    dtype=jnp.float32)
+    fte = kin.KinematicFTE(kin.KinematicConfig(), subject)
+    st = pbatch.make_kinematic_multistart(fte)(q0b, bat)
+    qs64 = np.asarray(st.q, np.float64)
+
+    def comvel_rmse(qs):
+        out = []
+        with host_cpu():
+            for i, tr in enumerate(trials):
+                n = tr.q_gt.shape[0]
+                cv_r = np.diff(np.asarray(sk.com_position(
+                    jnp.asarray(qs[i, :n]), subject)), axis=0) * fpss[i]
+                cv_g = np.diff(np.asarray(sk.com_position(
+                    jnp.asarray(tr.q_gt), subject)), axis=0) * fpss[i]
+                out.append(np.sqrt(np.mean(
+                    np.sum((cv_r - cv_g) ** 2, axis=1))))
+        return float(np.mean(out))
+
+    def mpe(qs):
+        out = []
+        with host_cpu():
+            for i, tr in enumerate(trials):
+                n = tr.q_gt.shape[0]
+                rec = np.asarray(sk.fk_markers(
+                    jnp.asarray(qs[i, :n]), subject))
+                out.append(1e3 * np.mean(np.linalg.norm(
+                    rec - tr.markers_gt, axis=2)))
+        return float(np.mean(out))
+
+    cv_warm, mpe_warm = comvel_rmse(qs64), mpe(qs64)
+    if verbose:
+        print(f"[deadband] warm start: CoMvel={cv_warm:.3f} "
+              f"MPE={mpe_warm:.0f}mm", flush=True)
+    qs_warm = [qs64[i, : tr.q_gt.shape[0]] for i, tr in enumerate(trials)]
+    with host_cpu():
+        gphs = [contacts_mod.estimate_ground_height(tr.q_gt, subject)
+                for tr in trials]
+    kbat, q_warm_b = bench_lib.build_physics_batch(
+        datas, qs_warm, fpss, subject, n_frames=n_frames,
+        dtype=jnp.float32, ground_heights=gphs)
+    B = q_warm_b.shape[0]
+    rows = []
+    for gm in grf_maxes:
+        for bd in base_deadbands:
+            cfg = kn.KineticConfig(use_gmm=True, base_deadband=bd,
+                                   grf_max=gm)
+            kfte = kn.KineticFTE(cfg, subject)
+            kvrun = jax.jit(jax.vmap(kfte.make_solver()))
+            kqs = []
+            for i in range(0, B, 5):
+                s = kvrun(q_warm_b[i:i + 5],
+                          jax.tree.map(lambda x: x[i:i + 5], kbat))
+                kqs.append(np.asarray(s.q, np.float64))
+            q_phys = np.concatenate(kqs)
+            cv = comvel_rmse(q_phys)
+            row = dict(base_deadband=("floor" if bd is None else bd),
+                       grf_max=gm,
+                       comvel_rmse=round(cv, 4),
+                       comvel_warm=round(cv_warm, 4),
+                       comvel_improvement_pct=round(
+                           100.0 * (1.0 - cv / max(cv_warm, 1e-9)), 1),
+                       mpe_mm=round(mpe(q_phys), 1),
+                       mpe_warm_mm=round(mpe_warm, 1))
+            rows.append(row)
+            if verbose:
+                print(f"[deadband] bd={row['base_deadband']} grf_max={gm}: "
+                      f"CoMvel={cv:.3f} ({row['comvel_improvement_pct']}%) "
+                      f"MPE={row['mpe_mm']}mm", flush=True)
+    out = pd.DataFrame(rows)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        out.to_csv(os.path.join(out_dir, "deadband_sweep.csv"), index=False)
     return out
 
 

@@ -776,6 +776,22 @@ class KinematicFTE:
             with jax.default_matmul_precision("highest"):
                 cost_fn = lambda q, s: self._cost_impl(q, data, s)
                 normal_fn = lambda q, s: self._normal(q, data, s)
+                if driver == "fixed" and len(stages_eff) == 1:
+                    # single-stage fixed-length scan: the annealed drivers
+                    # compile the cost body TWICE (stage-boundary re-eval +
+                    # the LM step's trial evaluation); with one stage there
+                    # are no boundaries, so the plain scan driver halves
+                    # the compiled body (the multistart PROBE path — cold
+                    # compile is the cost that matters there)
+                    sc, iters = stages_eff[0]
+                    s_tr = jnp.asarray(sc, q0.dtype)
+                    final, _ = gn_mod.lm_solve_scan(
+                        lambda q: cost_fn(q, s_tr),
+                        lambda q: normal_fn(q, s_tr), q0,
+                        gn_mod.LMConfig(max_iters=iters, ftol=ftol,
+                                        lam0=lam0,
+                                        linear_solver=linear_solver))
+                    return final
                 solver = (gn_mod.lm_solve_annealed_scan if driver == "scan"
                           else gn_mod.lm_solve_annealed)
                 return solver(
