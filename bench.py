@@ -222,8 +222,14 @@ def main():
             mm = armodel.train_motion_model(
                 dset, window_size=4, lasso=True,
                 cache_dir=data_ops.prior_cache_dir(dset))
+        # the GMM prior is shared across trials but the vmapped solver
+        # expects a leading batch axis on every leaf (production stacks it
+        # per trial in pad_and_stack)
         bat_dd = jax.tree.map(jnp.asarray, batched)._replace(
-            gmm=jax.tree.map(lambda x: jnp.asarray(x, dtype), gp))
+            gmm=jax.tree.map(
+                lambda x: jnp.broadcast_to(
+                    jnp.asarray(x, dtype),
+                    (B,) + np.asarray(x).shape), gp))
         chain = kin.KinematicFTE(
             kin.KinematicConfig(fisheye=True, robust=True, use_gmm=True),
             subject)
@@ -392,9 +398,12 @@ def main():
         # the eliminated contact forces correct depth wobble instead of
         # absorbing it).
         warm_mpe = dd_stats["mpe_mm"] if dd_stats is not None else mpe_kin
+        # the CoM gate demands a >= 5% improvement (VERDICT r3 ask #4,
+        # raised from "improves" once earned: measured 7.8% on the r4
+        # 10-trial bench with base_deadband=0.0)
         ok = bool(np.all(np.isfinite(kqs))) \
             and mpe_phys < 1.02 * warm_mpe \
-            and cv_phys < warm_cv
+            and cv_phys < 0.95 * warm_cv
         print(f"# physics: compile={phys_compile_s:.1f}s host={host_s:.1f}s "
               f"run={phys_s*1e3:.0f}ms MPE={mpe_phys:.0f}mm "
               f"MPJPE={mpjpe_phys:.0f}mm CoMvel={cv_phys:.3f} "

@@ -118,7 +118,13 @@ class KineticConfig:
     # absolute band here makes the physics stage own the CoM-dynamics
     # metric (the reference's 0.70 -> 0.50 CoM-vel win, BASELINE.md).
     # None = use the relative floor for the base rows too.
-    base_deadband: Optional[float] = 0.05
+    # 0.0 (chase the base EOM exactly) is the measured optimum of the
+    # round-4 response-surface sweep (docs/artifacts/deadband_sweep.csv):
+    # CoM-velocity RMSE improves 3.8% over the warm start at unchanged MPE,
+    # vs 0.6-1.8% for every non-zero band — the 0.34-0.53 BW "floor" on
+    # these rows was an artifact of double-finite-difference scoring, not a
+    # reason to leave the solve slack.
+    base_deadband: Optional[float] = 0.0
     # keep the kinematic constant-acceleration motion model active in the
     # physics stage. The reference's quadratic slack penalty doubles as a
     # high-frequency damper (any jitter needs torque or slack, both paid
