@@ -138,32 +138,59 @@ def camera_ray(q: np.ndarray, R_cam: np.ndarray,
 
 def fit_shift(ts: np.ndarray, gaps: np.ndarray, ws: np.ndarray,
               ray_z: np.ndarray, min_ray_z: float = 0.02,
-              max_shift_m: float = 1.5) -> np.ndarray:
+              max_shift_m: float = 1.5,
+              deep_pen_m: float = 0.05) -> np.ndarray:
     """Constant per-trial shift magnitude along the ray (metres, +away from
     the camera) implied by the touchdown gaps: s_i = gap_i / (-ray_z_i).
 
-    The window samples are one-sidedly biased: a window whose foot truly
-    reached the plane measures the depth error exactly, while a window
-    whose foot only HOVERED (flick trials, partial-load feet — measured
-    gaps up to +0.07 m at ground truth) inflates its sample positively.
-    The depth error itself is global (the init depth is a single per-trial
-    percentile, pipeline.initialization.estimate_monocular_depth), so the
-    right estimator is the LOWEST implied shift — "at least one stance
-    foot touches the ground" — not a fit through all windows (a degree-1
-    fit through hover-biased samples tilts and blows up at trial edges;
-    that failure was measured at 1.8 m MPE on a flick trial). One guard:
-    if the lowest sample sits > 0.5 m below the second lowest it is a
-    penetration artifact of the solve, and the second lowest is used.
-    Samples whose ray is too vertical carry no depth lever and are
-    dropped. Returns zeros (no correction) without at least 2 samples."""
+    The window samples are asymmetrically informative:
+
+    * POSITIVE gaps (hovering feet) are one-sidedly biased UP — a window
+      whose foot only hovered (flick trials, partial-load feet, measured
+      gaps up to +0.07 m at ground truth) inflates its sample, while a
+      window whose foot truly reached the plane measures the depth error
+      exactly. The right estimator over positive samples is therefore the
+      LOWEST — "at least one stance foot touches the ground" — with one
+      guard: a lowest sample > 0.5 m below the second lowest is an
+      artifact and the second lowest is used.
+    * NEGATIVE gaps (feet below the plane) are physically impossible for
+      a real stance, so shallow penetration is POSE NOISE, not depth
+      evidence — and the ~7x ray lever amplifies centimetres of paw-z
+      error into decimetres of toward-camera shift. Round-4 measured
+      failure: four noisy samples of -0.01..-0.08 m chose a -0.74 m shift
+      and took a flick trial from 186 to 637 mm MPE while the anchored
+      objective gate (blind along the ray) accepted it. Negative samples
+      are therefore DROPPED; only when every sample's GAP penetrates
+      deeper than the pose-noise floor (all gaps <= -deep_pen_m, a
+      genuinely too-far reconstruction) is a toward-camera correction
+      applied — then from the MOST-negative sample: the hover bias is
+      upward regardless of the shift's sign, so the deepest window is
+      still the one whose foot truly reached the plane (with the same
+      0.5 m second-lowest outlier guard as the positive branch).
+
+    Mixed shallow evidence (some hover, some penetrate) means the plane
+    is effectively being touched already -> positive samples only; all-
+    shallow-negative evidence -> no correction. Samples whose ray is too
+    vertical carry no depth lever and are dropped. Returns zeros (no
+    correction) without at least 2 samples."""
     N = ray_z.shape[0]
     lever = -np.asarray(ray_z, np.float64)
     ti = np.clip(np.asarray(ts, int), 0, N - 1)
     ok = (np.asarray(ws) > 0) & (np.abs(lever[ti]) > min_ray_z)
     if ok.sum() < 2:
         return np.zeros(N)
-    s = np.sort(gaps[ok] / lever[ti[ok]])
-    s_hat = s[1] if s[0] < s[1] - 0.5 else s[0]
+    g_ok = gaps[ok]
+    s_all = g_ok / lever[ti[ok]]
+    pos = s_all[s_all >= 0.0]
+    neg = s_all[s_all < 0.0]
+    if pos.size:
+        s = np.sort(pos)
+        s_hat = s[1] if (s.size > 1 and s[0] < s[1] - 0.5) else s[0]
+    elif neg.size and np.all(g_ok <= -deep_pen_m):
+        s = np.sort(neg)
+        s_hat = s[1] if (s.size > 1 and s[0] < s[1] - 0.5) else s[0]
+    else:
+        return np.zeros(N)
     return np.full(N, np.clip(s_hat, -max_shift_m, max_shift_m))
 
 

@@ -761,6 +761,55 @@ def data_driven_analysis(dir_prefix: str,
     fig.savefig(os.path.join(dir_prefix, "ar_model_selection.pdf"),
                 bbox_inches="tight")
     plt.close(fig)
+
+    # reconstruction-quality-vs-hyper-parameter mosaics (reference
+    # data_driven_analysis, results.py:1035-1278): mean +- std MPE/MPJPE
+    # marginalized over the OTHER grid axes, from the reconstruction grid
+    # search CSV (studies.run_grid_search_batched) when it exists
+    gs_csv = os.path.join(dir_prefix, "grid_search_results.csv")
+    if os.path.exists(gs_csv):
+        import pandas as pd
+        gs = pd.read_csv(gs_csv)
+
+        def band(ax, xs, mean, std, label=None):
+            mean, std = np.asarray(mean, float), np.asarray(std, float)
+            ax.plot(xs, mean, marker="o", label=label)
+            ax.fill_between(xs, mean - std, mean + std, alpha=0.1)
+
+        by_k = gs.groupby("n_components")
+        fig = plt.figure(figsize=(16, 9), dpi=60)
+        axd = fig.subplot_mosaic([["left", "right"]])
+        ks = sorted(by_k.groups)
+        band(axd["left"], ks, by_k["mpe"].mean(), by_k["mpe"].std())
+        axd["left"].set_ylabel("Global MPE (mm)")
+        axd["left"].set_xlabel("# Components")
+        band(axd["right"], ks, by_k["mpjpe"].mean(), by_k["mpjpe"].std())
+        axd["right"].set_ylabel("Root-relative MPJPE (mm)")
+        axd["right"].set_xlabel("# Components")
+        fig.savefig(os.path.join(dir_prefix,
+                                 "gmm_components_vs_error.pdf"),
+                    bbox_inches="tight")
+        plt.close(fig)
+
+        fig = plt.figure(figsize=(16, 9), dpi=60)
+        axd = fig.subplot_mosaic([["left", "right"]])
+        for lasso, lbl in ((True, "L1-norm"), (False, "L2-norm")):
+            sub = gs[gs["lasso"] == lasso].groupby("window")
+            ws = sorted(sub.groups)
+            if not ws:
+                continue
+            band(axd["left"], ws, sub["mpe"].mean(), sub["mpe"].std(), lbl)
+            band(axd["right"], ws, sub["mpjpe"].mean(), sub["mpjpe"].std(),
+                 lbl)
+        axd["left"].set_ylabel("Global MPE (mm)")
+        axd["left"].set_xlabel("Window Size")
+        axd["left"].legend()
+        axd["right"].set_ylabel("Root-relative MPJPE (mm)")
+        axd["right"].set_xlabel("Window Size")
+        axd["right"].legend()
+        fig.savefig(os.path.join(dir_prefix, "ar_window_vs_error.pdf"),
+                    bbox_inches="tight")
+        plt.close(fig)
     return data
 
 

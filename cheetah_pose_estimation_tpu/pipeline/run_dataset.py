@@ -98,8 +98,12 @@ def materialize_synthetic_testset(root_dir: str, n_cams: int = 6,
     from the reference's shipped ground-truth trajectories with the
     correlated DLC failure model (synthetic.corrupt_dlc) — the regime the
     reference's monocular modes were designed for."""
+    from ..utils.device import host_cpu
     made = []
     for i, (cheetah, date, trial_name) in enumerate(TEST_SET):
+      # rendering is pure host prep: on the tunneled accelerator backend
+      # every distinct-shape scrap op here costs a compile round-trip
+      with host_cpu():
         data_path = os.path.join(date, cheetah, trial_name)
         q_gt = _reference_gt_trajectory(date, cheetah, trial_name,
                                         40 + 2 * i, i)
@@ -129,8 +133,10 @@ def materialize_synthetic_kinetic_testset(root_dir: str, n_cams: int = 4,
                                           seed: int = 100) -> List[str]:
     """Synthetic copies of the 5 force-plate trials: pinhole cameras at
     200 fps (the 2009 kinetic-dataset rig)."""
+    from ..utils.device import host_cpu
     made = []
     for i, (cheetah, date, trial) in enumerate(KINETIC_SET):
+      with host_cpu():  # host prep (see materialize_synthetic_testset)
         data_path = os.path.join("kinetic_dataset", date, cheetah,
                                  f"trial{trial}")
         q_gt = _reference_gt_trajectory(

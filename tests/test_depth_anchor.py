@@ -118,3 +118,28 @@ def test_touchdown_samples_pick_window_minima():
     assert gaps[0] == pytest.approx(paws[3:9, 0].min())
     assert gaps[1] == pytest.approx(paws[12:15, 2].min())
     np.testing.assert_array_equal(ws, [6.0, 3.0])
+
+
+def test_fit_shift_ignores_shallow_penetration_noise():
+    """Shallow negative gaps are pose noise, not depth evidence: the ray
+    lever (~7x) otherwise amplifies centimetres of paw error into a large
+    toward-camera shift (round-4 measured: samples -0.01..-0.08 m chose
+    -0.74 m and took a flick trial from 186 to 637 mm MPE)."""
+    N = 60
+    ray_z = np.full(N, -0.11)
+    ts = np.array([5.0, 20.0, 35.0, 50.0])
+    ws = np.full(4, 4.0)
+    # the flick1 failure pattern: all-shallow-negative samples
+    gaps = np.array([-0.017, -0.009, -0.051, -0.083])
+    np.testing.assert_array_equal(
+        da.fit_shift(ts, gaps, ws, ray_z), 0.0)
+    # mixed evidence (hover + shallow penetration): plane already touched,
+    # only the positive samples count -> their minimum
+    gaps_mixed = np.array([-0.024, 0.004, -0.011, 0.03])
+    s = da.fit_shift(ts, gaps_mixed, ws, ray_z)
+    np.testing.assert_allclose(s, 0.004 / 0.11, rtol=1e-9)
+    # unanimous deep penetration IS depth evidence: least-deep sample,
+    # mirrored at-least-one-touches logic
+    gaps_deep = np.array([-0.09, -0.12, -0.10, -0.113])
+    s = da.fit_shift(ts, gaps_deep, ws, ray_z)
+    np.testing.assert_allclose(s, -0.12 / 0.11, rtol=1e-9)
