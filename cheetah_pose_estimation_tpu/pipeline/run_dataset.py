@@ -776,13 +776,21 @@ def main(argv=None):
                                       include_physics=args.sweep_physics)
     if args.run_data_driven_ablation_study:
         from . import studies
-        studies.run_data_driven_ablation_study(args.root_dir,
-                                               args.out_dir_prefix, test_set)
+        if args.batched:
+            studies.run_data_driven_ablation_batched(
+                args.root_dir, args.out_dir_prefix, test_set, cam_overrides)
+        else:
+            studies.run_data_driven_ablation_study(
+                args.root_dir, args.out_dir_prefix, test_set)
         _maybe_ablation_figure(args.out_dir_prefix)
     if args.run_physics_based_ablation_study:
         from . import studies
-        studies.run_physics_based_ablation_study(
-            args.root_dir, args.out_dir_prefix, test_set, cam_overrides)
+        if args.batched:
+            studies.run_physics_ablation_batched(
+                args.root_dir, args.out_dir_prefix, test_set, cam_overrides)
+        else:
+            studies.run_physics_based_ablation_study(
+                args.root_dir, args.out_dir_prefix, test_set, cam_overrides)
         _maybe_ablation_figure(args.out_dir_prefix)
 
 

@@ -541,6 +541,305 @@ def run_degradation_sweep(rates: Tuple[float, ...] = (0.0, 1.0, 2.0, 4.0,
     return out
 
 
+def _ablation_bootstrap(groups, dset, dtype, verbose=True):
+    """Shared monocular bootstrap per subject group for the batched
+    ablations: prior-free multistart solve + gated 5-component GMM chain
+    (the production data-driven warm start). Returns per-group
+    (subject, ests, bbat, q_free, q_boot, gp)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import params as params_mod
+    from ..parallel import batch as pbatch
+    from ..priors import dataset as prior_ds, gmm as gmm_mod
+    from ..solver import kinematic as kin
+    from ..utils import data_ops
+
+    out = []
+    for subject_name, ests in groups.items():
+        subject = params_mod.get_subject(subject_name)
+        gp = gmm_mod.to_solver_prior(gmm_mod.fit(
+            prior_ds.load_pose_dataset(dset).iloc[:, 6:28].to_numpy(),
+            n_components=5, seed=42,
+            cache_dir=data_ops.prior_cache_dir(dset)))
+        datas = [est.data._replace(gmm=gp) for _, est in ests]
+        q0s = [est.q0 for _, est in ests]
+        nf = int(np.ceil(max(d.meas.shape[0] for d in datas) / 16) * 16)
+        bbat, bq0 = pbatch.pad_and_stack(datas, q0s, n_frames=nf,
+                                         dtype=dtype)
+        free = kin.KinematicFTE(
+            kin.KinematicConfig(fisheye=True, robust=True), subject)
+        st_free = pbatch.make_kinematic_multistart(free)(bq0, bbat)
+        chain = kin.KinematicFTE(
+            kin.KinematicConfig(fisheye=True, robust=True, use_gmm=True),
+            subject)
+        st_chain = jax.jit(jax.vmap(chain.make_solver()))(st_free.q, bbat)
+        vcost = jax.jit(jax.vmap(lambda q, d: free._cost(q, d, 1.0)))
+        c_free = np.asarray(vcost(st_free.q, bbat), np.float64)
+        c_chain = np.asarray(vcost(st_chain.q, bbat), np.float64)
+        broken = ~np.isfinite(c_chain) & np.isfinite(c_free)
+        if broken.any():
+            raise RuntimeError(
+                f"ablation bootstrap chain non-finite on trials "
+                f"{np.flatnonzero(broken).tolist()}")
+        ok = jnp.asarray(c_chain <= 1.10 * c_free)[:, None, None]
+        q_boot = jnp.where(ok, st_chain.q, st_free.q)
+        out.append((subject, ests, bbat, st_free.q, q_boot, gp))
+        if verbose:
+            print(f"[ablation] bootstrap {subject_name}: "
+                  f"{len(ests)} trials", flush=True)
+    return out
+
+
+def _score_rows(rows_acc, configs, label_order, out_csv, dir_prefix):
+    rows = []
+    for label in label_order:
+        acc = rows_acc[label]
+        rows.append(dict(config=label,
+                         mpe=float(np.mean(acc["mpe"])) if acc["mpe"]
+                         else np.nan,
+                         mpjpe=float(np.mean(acc["mpjpe"])) if acc["mpjpe"]
+                         else np.nan,
+                         cvr=float(np.mean(acc["cvr"])) if acc["cvr"]
+                         else np.nan,
+                         n=len(acc["mpe"])))
+    df = pd.DataFrame(rows)
+    os.makedirs(dir_prefix, exist_ok=True)
+    df.to_csv(os.path.join(dir_prefix, out_csv), index=False)
+    return df
+
+
+def _score_q_against_multiview(q, est, data_path, dir_prefix, subject):
+    """In-memory counterpart of _score_against_multiview: FK the solved q
+    and score vs the saved multi-view solution."""
+    from ..models import skeleton as sk
+    from ..utils.device import host_cpu
+
+    base = os.path.join(dir_prefix, data_path)
+    gt_p = os.path.join(base, "fte_kinematic", "fte.pickle")
+    if not os.path.exists(gt_p):
+        return None
+    gtd = dio.load_fte_pickle(gt_p)
+    with host_cpu():
+        pos = np.asarray(sk.fk_markers(np.asarray(q, np.float64), subject))
+        com = np.asarray(sk.com_position(np.asarray(q, np.float64),
+                                         subject))
+    gt = np.asarray(gtd["positions"])
+    n = min(len(gt), len(pos))
+    mpe_tbl, _, _ = metrics_mod.traj_error(gt[:n].copy(), pos[:n].copy(),
+                                           verbose=False)
+    mpjpe_tbl, _, _ = metrics_mod.traj_error(gt[:n].copy(), pos[:n].copy(),
+                                             centered=True, verbose=False)
+    fps = est.scene.fps
+    com_vel = (com[1:n] - com[:n - 1]) * fps
+    cvr = metrics_mod.rmse(np.asarray(gtd["com_vel"])[:n - 1], com_vel)
+    return (float(mpe_tbl.mean().iloc[0]),
+            float(mpjpe_tbl.mean().iloc[0]), float(cvr))
+
+
+def run_data_driven_ablation_batched(root_dir: str, dir_prefix: str,
+                                     test_set: Tuple,
+                                     cam_overrides: Optional[List[int]]
+                                     = None,
+                                     max_trials: Optional[int] = None,
+                                     data_driven_dataset: Optional[str]
+                                     = None,
+                                     dtype=None,
+                                     verbose: bool = True) -> pd.DataFrame:
+    """Pose/motion prior on-off ablation as vmapped batches (the serial
+    driver solves 4 configs x 10 trials one IPOPT-style solve at a time,
+    ~hours through the tunnel; here each config is ONE vmapped solve from a
+    shared production bootstrap). Same CSV schema as
+    run_data_driven_ablation_study."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import skeleton as sk
+    from ..parallel import batch as pbatch
+    from ..priors import armodel
+    from ..solver import kinematic as kin
+    from ..utils import data_ops
+    from ..utils.device import host_cpu
+    from . import batched as batched_mod
+
+    if dtype is None:
+        dtype = jnp.float32
+    trials = test_set[:max_trials] if max_trials else test_set
+    dset = data_driven_dataset or est_mod.DATA_DRIVEN_DATASET
+    from collections import defaultdict
+
+    from ..models import params as params_mod
+    groups = defaultdict(list)
+    for idx, (cheetah, date, name) in enumerate(trials):
+        data_path = os.path.join(date, cheetah, name)
+        if not os.path.isdir(os.path.join(root_dir, data_path)):
+            continue
+        cam = cam_overrides[idx] if cam_overrides else None
+        est = batched_mod._prepare(root_dir, data_path, cheetah, cam,
+                                   monocular=True)
+        groups[params_mod.get_subject(cheetah).name].append(
+            (data_path, est))
+
+    configs = [("both", True, True), ("no-pose", False, True),
+               ("no-motion", True, False), ("neither", False, False)]
+    rows_acc = {label: dict(mpe=[], mpjpe=[], cvr=[])
+                for label, _, _ in configs}
+    mm = armodel.train_motion_model(
+        dset, window_size=4, lasso=True,
+        cache_dir=data_ops.prior_cache_dir(dset))
+    for subject, ests, bbat, q_free, q_boot, gp in _ablation_bootstrap(
+            groups, dset, dtype, verbose):
+        fv = np.asarray(bbat.frame_valid)
+        q_boot_np = np.asarray(q_boot, np.float64)
+        yps, ws, vls = [], [], []
+        with host_cpu():
+            for i in range(len(ests)):
+                x = np.asarray(sk.relative_pose(q_boot_np[i]))
+                yp, vl = armodel.anchor_predictions(mm, x)
+                vl = vl * fv[i]
+                ws.append(armodel.adaptive_motion_weights(mm, yp, x, vl))
+                yps.append(yp)
+                vls.append(vl)
+        bat_ar = bbat._replace(ar=kin.ARAnchor(
+            jnp.asarray(np.stack(yps), dtype),
+            jnp.asarray(np.stack(ws), dtype),
+            jnp.asarray(np.stack(vls), dtype)))
+        for label, use_gmm, use_ar in configs:
+            if not (use_gmm or use_ar):
+                qs = np.asarray(q_free, np.float64)
+            else:
+                fte = kin.KinematicFTE(
+                    kin.KinematicConfig(fisheye=True, robust=True,
+                                        use_gmm=use_gmm, use_ar=use_ar),
+                    subject)
+                st = jax.jit(jax.vmap(fte.make_solver()))(q_boot, bat_ar)
+                qs = np.asarray(st.q, np.float64)
+            for i, (data_path, est) in enumerate(ests):
+                n = est.data.meas.shape[0]
+                s = _score_q_against_multiview(qs[i, :n], est, data_path,
+                                               dir_prefix, subject)
+                if s:
+                    rows_acc[label]["mpe"].append(s[0])
+                    rows_acc[label]["mpjpe"].append(s[1])
+                    rows_acc[label]["cvr"].append(s[2])
+            if verbose:
+                print(f"[ablation] dd {label}: "
+                      f"mpe {np.mean(rows_acc[label]['mpe']):.1f}",
+                      flush=True)
+    return _score_rows(rows_acc, configs, [c[0] for c in configs],
+                       "data_driven_ablation_results.csv", dir_prefix)
+
+
+def run_physics_ablation_batched(root_dir: str, dir_prefix: str,
+                                 test_set: Tuple,
+                                 cam_overrides: Optional[List[int]] = None,
+                                 max_trials: Optional[int] = None,
+                                 data_driven_dataset: Optional[str] = None,
+                                 dtype=None,
+                                 verbose: bool = True) -> pd.DataFrame:
+    """Prior ablation over the physics-based mode as vmapped batches: each
+    configuration is ONE vmapped kinetic solve warm-started from the saved
+    data-driven artifacts (requires the monocular pipeline's outputs). The
+    kinetic 'motion prior' is the torque + marker-smoothing energy
+    (estimator.estimate_kinetics maps disable_motion_prior to
+    torque_weight~0 / smooth_weight_scale=0). Same CSV schema as
+    run_physics_based_ablation_study."""
+    import json as _json
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..parallel import batch as pbatch
+    from ..priors import dataset as prior_ds, gmm as gmm_mod
+    from ..solver import kinetic as kn
+    from ..utils import data_ops
+    from . import batched as batched_mod
+
+    if dtype is None:
+        dtype = jnp.float32
+    trials = test_set[:max_trials] if max_trials else test_set
+    dset = data_driven_dataset or est_mod.DATA_DRIVEN_DATASET
+    from collections import defaultdict
+
+    from ..models import params as params_mod
+    groups = defaultdict(list)
+    for idx, (cheetah, date, name) in enumerate(trials):
+        data_path = os.path.join(date, cheetah, name)
+        if not os.path.isdir(os.path.join(root_dir, data_path)):
+            continue
+        cam = cam_overrides[idx] if cam_overrides else None
+        est = batched_mod._prepare(root_dir, data_path, cheetah, cam,
+                                   monocular=True)
+        groups[params_mod.get_subject(cheetah).name].append(
+            (data_path, est))
+
+    configs = [("both", True, True), ("no-pose", False, True),
+               ("no-motion", True, False), ("neither", False, False)]
+    rows_acc = {label: dict(mpe=[], mpjpe=[], cvr=[])
+                for label, _, _ in configs}
+    gp = gmm_mod.to_solver_prior(gmm_mod.fit(
+        prior_ds.load_pose_dataset(dset).iloc[:, 6:28].to_numpy(),
+        n_components=5, seed=42, cache_dir=data_ops.prior_cache_dir(dset)))
+    for subject_name, ests in groups.items():
+        subject = params_mod.get_subject(subject_name)
+        kds, qws = [], []
+        for data_path, est in ests:
+            d = est_mod._load_warm_start(est, True, dir_prefix)
+            est.com_vel, est.com_pos = d["com_vel"], d["com_pos"]
+            est_mod.determine_contacts(est, monocular=True,
+                                       out_dir_prefix=dir_prefix)
+            base_dir = os.path.join(dir_prefix, est.data_path)
+            with open(os.path.join(base_dir, "grf",
+                                   "autogen-contact.json"),
+                      encoding="utf-8") as f:
+                cj = _json.load(f)
+            N = est.params.end_frame - est.params.start_frame
+            stance = kn.stance_matrix(cj["contacts"], cj["start_frame"], N)
+            stance = kn.prune_stance(stance, np.asarray(d["q"]), subject,
+                                     1.0 / est.scene.fps)
+            kds.append(kn.KineticData(
+                base=est.data._replace(gmm=gp),
+                stance=jnp.asarray(stance),
+                grf_fixed=jnp.zeros((N, 4)),
+                grf_xy_fixed=jnp.zeros((N, 4, 4)),
+                use_fixed_grf=jnp.asarray(0.0),
+                q_warm=jnp.asarray(d["q"]),
+                ground_z=jnp.asarray(est.params.ground_plane_height)))
+            qws.append(np.asarray(d["q"]))
+        nf = int(np.ceil(max(kd.base.meas.shape[0]
+                             for kd in kds) / 16) * 16)
+        kbat, q_warm_b = pbatch.pad_and_stack_kinetic(kds, qws,
+                                                      n_frames=nf,
+                                                      dtype=dtype)
+        for label, use_gmm, use_motion in configs:
+            cfg = kn.KineticConfig(
+                fisheye=True, robust=True, use_gmm=use_gmm,
+                torque_weight=1.0 if use_motion else 1e-6,
+                smooth_weight_scale=0.1 if use_motion else 0.0)
+            kfte = kn.KineticFTE(cfg, subject)
+            kvrun = jax.jit(jax.vmap(kfte.make_solver()))
+            qs_parts = []
+            for i in range(0, q_warm_b.shape[0], 5):
+                st = kvrun(q_warm_b[i:i + 5],
+                           jax.tree.map(lambda x: x[i:i + 5], kbat))
+                qs_parts.append(np.asarray(st.q, np.float64))
+            qs = np.concatenate(qs_parts)
+            for i, (data_path, est) in enumerate(ests):
+                n = est.data.meas.shape[0]
+                s = _score_q_against_multiview(qs[i, :n], est, data_path,
+                                               dir_prefix, subject)
+                if s:
+                    rows_acc[label]["mpe"].append(s[0])
+                    rows_acc[label]["mpjpe"].append(s[1])
+                    rows_acc[label]["cvr"].append(s[2])
+            if verbose:
+                print(f"[ablation] physics {label}: "
+                      f"mpe {np.mean(rows_acc[label]['mpe']):.1f}",
+                      flush=True)
+    return _score_rows(rows_acc, configs, [c[0] for c in configs],
+                       "physics_based_ablation_results.csv", dir_prefix)
+
+
 def run_deadband_sweep(base_deadbands: Tuple = (None, 0.1, 0.05, 0.02,
                                                 0.01, 0.0),
                        grf_maxes: Tuple[float, ...] = (5.0, 3.0),
