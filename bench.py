@@ -263,9 +263,11 @@ def main():
                 n = tr.q_gt.shape[0]
                 cam = jax.tree.map(lambda x: np.asarray(x)[i],
                                    bat_in.cam)
-                qc, stw, _ = danchor.ray_depth_correction(
+                qc, stw, shift = danchor.ray_depth_correction(
                     qs_np[i, :n], subject, fpss[i], gphs[i],
                     cam.R[0], cam.t[0])
+                if float(np.max(np.abs(shift))) == 0.0:
+                    continue    # no depth evidence: no shift AND no polish
                 qs_corr[i, :n] = qc
                 stance_b[i, :n] = stw
             if stance_b.sum() == 0.0:

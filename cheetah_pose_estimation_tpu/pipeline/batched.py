@@ -52,9 +52,17 @@ def _anchor_polish(qs: np.ndarray, ests: List, batched, subject, cfg_base,
         n = est.data.meas.shape[0]
         ci = est.scene.cam_idx
         gz[i] = float(est.params.ground_plane_height)
-        qc, stw, _ = danchor.ray_depth_correction(
+        qc, stw, shift = danchor.ray_depth_correction(
             qs[i, :n], subject, est.scene.fps, gz[i],
             est.scene.r_arr[ci], est.scene.t_arr[ci])
+        if float(np.max(np.abs(shift))) == 0.0:
+            # no trustworthy depth evidence (fit_shift returned zero):
+            # skip the polish too — its stance-z pull acts on ALL stance
+            # frames including hovering ones, so polishing an unshifted
+            # trajectory over-corrects depth by the hover bias (measured
+            # on the bench set: dd MPE 182 -> 232 mm when the polish ran
+            # on zero-shift trials)
+            continue
         qs_corr[i, :n] = qc
         stance_b[i, :n] = stw
     if stance_b.sum() == 0.0:

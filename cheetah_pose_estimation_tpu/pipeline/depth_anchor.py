@@ -139,7 +139,8 @@ def camera_ray(q: np.ndarray, R_cam: np.ndarray,
 def fit_shift(ts: np.ndarray, gaps: np.ndarray, ws: np.ndarray,
               ray_z: np.ndarray, min_ray_z: float = 0.02,
               max_shift_m: float = 1.5,
-              deep_pen_m: float = 0.05) -> np.ndarray:
+              deep_pen_m: float = 0.05,
+              min_shift_m: float = 0.35) -> np.ndarray:
     """Constant per-trial shift magnitude along the ray (metres, +away from
     the camera) implied by the touchdown gaps: s_i = gap_i / (-ray_z_i).
 
@@ -172,7 +173,17 @@ def fit_shift(ts: np.ndarray, gaps: np.ndarray, ws: np.ndarray,
     is effectively being touched already -> positive samples only; all-
     shallow-negative evidence -> no correction. Samples whose ray is too
     vertical carry no depth lever and are dropped. Returns zeros (no
-    correction) without at least 2 samples."""
+    correction) without at least 2 samples.
+
+    ``min_shift_m`` is the channel's NOISE FLOOR: paw-z pose noise of a
+    few centimetres times the ~7x ray lever is ~0.3-0.4 m of spurious
+    shift, so corrections smaller than that are indistinguishable from
+    noise and are suppressed (round-4 measured on the bench scenes: true
+    ray errors of 0.03-0.27 m with implied-shift evidence of 0.05-0.28 m
+    in the WRONG direction — applying them took data-driven MPE from 182
+    to 232 mm). The anchor is a coarse-error rescue, not a fine-depth
+    estimator; sub-floor depth belongs to the polish's measurement-
+    coupled stance terms, not to an open-loop shift."""
     N = ray_z.shape[0]
     lever = -np.asarray(ray_z, np.float64)
     ti = np.clip(np.asarray(ts, int), 0, N - 1)
@@ -190,6 +201,8 @@ def fit_shift(ts: np.ndarray, gaps: np.ndarray, ws: np.ndarray,
         s = np.sort(neg)
         s_hat = s[1] if (s.size > 1 and s[0] < s[1] - 0.5) else s[0]
     else:
+        return np.zeros(N)
+    if abs(s_hat) < min_shift_m:
         return np.zeros(N)
     return np.full(N, np.clip(s_hat, -max_shift_m, max_shift_m))
 
