@@ -49,18 +49,27 @@ BW = 3          # bandwidth (constant-acceleration stencil)
 
 
 def _bmm_t(a, b):
-    """(B, D, D) @ (B, D, D)^T batched matmul on the MXU."""
+    """(B, D, D) @ (B, D, D)^T batched matmul on the MXU.
+
+    precision=HIGHEST: the MXU's default f32 path truncates operands to
+    bf16 (8-bit mantissa, ~4e-3 relative per product); accumulated through
+    N frames of elimination that cost the round-4 kernel 6-8% solve error
+    at production conditioning (linsolve_bench.json). The 3-pass f32
+    decomposition is mandatory for a factorization."""
     return jax.lax.dot_general(
         a, b, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=a.dtype)
+        preferred_element_type=a.dtype,
+        precision=jax.lax.Precision.HIGHEST)
 
 
 def _bmv(a, v):
     """(B, D, D) @ (B, D) batched matvec (Mosaic-supported form: lhs/rhs
-    contracting dims last, vector-like rhs)."""
+    contracting dims last, vector-like rhs). Full f32 precision — see
+    _bmm_t."""
     return jax.lax.dot_general(
         a, v, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=a.dtype)
+        preferred_element_type=a.dtype,
+        precision=jax.lax.Precision.HIGHEST)
 
 
 def _chol_b(a):
@@ -77,7 +86,9 @@ def _chol_b(a):
         col = jnp.sum(a_c * colmask[None], axis=2)            # (B, D)
         ajj = jnp.sum(jnp.where(rowvec[None] == j, col, 0.0),
                       axis=1)                                 # (B,)
-        inv = jax.lax.rsqrt(jnp.maximum(ajj, 1e-30))          # (B,)
+        # 1/sqrt, NOT lax.rsqrt: Mosaic lowers rsqrt to the VPU's fast
+        # approximation (~1e-3 relative), poison for a Cholesky pivot
+        inv = 1.0 / jnp.sqrt(jnp.maximum(ajj, 1e-30))         # (B,)
         colL = jnp.where(rowvec[None] >= j, col * inv[:, None], 0.0)
         l_c = l_c + colL[:, :, None] * colmask[None]
         a_c = a_c - colL[:, :, None] * colL[:, None, :]

@@ -73,6 +73,98 @@ def load_reference_trajectories(max_trials: Optional[int] = None,
     return out
 
 
+def reference_trial_paths(max_trials: Optional[int] = None):
+    """Trial directory names (relative to the reference test set) in the SAME
+    order as load_reference_trajectories — lets studies label per-trial rows
+    with the behavior-bearing trial names (e.g. .../flick2)."""
+    out = []
+    pats = sorted(glob.glob(os.path.join(
+        REF_TEST_SET, "*", "**", "fte_kinematic", "fte.pickle"),
+        recursive=True))
+    for p in pats:
+        if "kinetic_dataset" in p:
+            continue
+        out.append(os.path.relpath(os.path.dirname(os.path.dirname(p)),
+                                   REF_TEST_SET))
+    if not out:
+        out = [f"synthetic_gallop_{i}" for i in range(10)]
+    if max_trials:
+        out = out[:max_trials]
+    return out
+
+
+def score_per_trial(qs_batch: np.ndarray, trials, fpss, subject):
+    """Per-trial (MPE mm, MPJPE mm, CoM-vel RMSE m/s) vs the synthetic GT.
+
+    The three quality metrics of the reference's dataset_post_process
+    (run_dataset.py:365-562) on bench problems; qs_batch is (B, Npad, 54)."""
+    rows = []
+    with host_cpu():
+        for i, tr in enumerate(trials):
+            n = tr.q_gt.shape[0]
+            rec = np.asarray(sk.fk_markers(
+                np.asarray(qs_batch[i, :n], np.float64), subject))
+            err = rec - tr.markers_gt
+            mpe = float(np.mean(np.linalg.norm(err, axis=2)) * 1e3)
+            errr = (rec - rec.mean(axis=1, keepdims=True)) \
+                - (tr.markers_gt - tr.markers_gt.mean(axis=1, keepdims=True))
+            mpjpe = float(np.mean(np.linalg.norm(errr, axis=2)) * 1e3)
+            cv_r = np.diff(np.asarray(sk.com_position(
+                np.asarray(qs_batch[i, :n], np.float64), subject)),
+                axis=0) * fpss[i]
+            cv_g = np.diff(np.asarray(sk.com_position(tr.q_gt, subject)),
+                           axis=0) * fpss[i]
+            cvr = float(np.sqrt(np.mean(np.sum((cv_r - cv_g) ** 2, axis=1))))
+            rows.append((mpe, mpjpe, cvr))
+    return rows
+
+
+def make_anchor_polish(subject, dtype=jnp.float32):
+    """Monocular ground-plane depth anchor on bench problems: analytic ray
+    shift + short anchored polish + acceptance gate — the exact
+    pipeline.batched._anchor_polish semantics, shared by bench.py and the
+    forced-vs-gated study so their dd numbers are production-comparable.
+
+    Returns run(qs, batched, trials, fpss, gphs) -> (B, Npad, 54) jnp."""
+    import dataclasses as _dc
+
+    from . import depth_anchor as danchor
+    cfg = kin.KinematicConfig(fisheye=True, robust=True)
+    afte = kin.KinematicFTE(_dc.replace(cfg, **danchor.POLISH_CFG), subject)
+    vpol = jax.jit(jax.vmap(afte.make_solver(stages=danchor.POLISH_STAGES)))
+    gate = kin.KinematicFTE(cfg, subject)
+    vobj = jax.jit(jax.vmap(gate.objective))
+
+    def run(qs_in, batched, trials, fpss, gphs):
+        qs_np = np.asarray(qs_in, np.float64)
+        B, n_frames = qs_np.shape[0], qs_np.shape[1]
+        stance_b = np.zeros((B, n_frames, 4))
+        qs_corr = qs_np.copy()
+        with host_cpu():
+            for i, tr in enumerate(trials):
+                n = tr.q_gt.shape[0]
+                cam = jax.tree.map(lambda x: np.asarray(x)[i], batched.cam)
+                qc, stw, shift = danchor.ray_depth_correction(
+                    qs_np[i, :n], subject, fpss[i], gphs[i],
+                    cam.R[0], cam.t[0])
+                if float(np.max(np.abs(shift))) == 0.0:
+                    continue    # no depth evidence: no shift AND no polish
+                qs_corr[i, :n] = qc
+                stance_b[i, :n] = stw
+        if stance_b.sum() == 0.0:
+            return jnp.asarray(qs_np, dtype)
+        stp = vpol(jnp.asarray(qs_corr, dtype),
+                   batched._replace(ground_z=jnp.asarray(gphs, dtype),
+                                    stance_w=jnp.asarray(stance_b, dtype)))
+        c0 = np.asarray(vobj(jnp.asarray(qs_np, dtype), batched), np.float64)
+        c1 = np.asarray(vobj(stp.q, batched), np.float64)
+        accept = np.isfinite(c1) & (c1 <= 1.05 * c0)
+        return jnp.where(jnp.asarray(accept)[:, None, None],
+                         stp.q, jnp.asarray(qs_np, dtype))
+
+    return run
+
+
 def empty_priors(N: int):
     gmmp = kin.GMMPrior(np.zeros((1, 22)), np.eye(22)[None], np.zeros((1,)))
     ar = kin.ARAnchor(np.zeros((N, 28)), np.zeros(28), np.zeros(N))

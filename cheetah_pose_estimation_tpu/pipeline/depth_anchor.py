@@ -207,6 +207,94 @@ def fit_shift(ts: np.ndarray, gaps: np.ndarray, ws: np.ndarray,
     return np.full(N, np.clip(s_hat, -max_shift_m, max_shift_m))
 
 
+def scale_depth_shift(q: np.ndarray, subject: SubjectParams,
+                      meas: np.ndarray, weight: np.ndarray,
+                      K: np.ndarray, D_dist: np.ndarray,
+                      R_cam: np.ndarray, t_cam: np.ndarray,
+                      fisheye: bool = True,
+                      min_markers: int = 8,
+                      min_frames: int = 16,
+                      max_spread_ratio: float = 0.6,
+                      max_shift_m: float = 1.5) -> float:
+    """Per-trial depth shift (metres along the viewing ray, + away from the
+    camera) implied by APPARENT BODY SCALE.
+
+    The foot-height channel (fit_shift) cannot separate shallow
+    toward-camera depth error from paw-pose noise — its ~7x ray lever
+    amplifies centimetres of paw-z error into decimetres of shift, so
+    sub-0.35 m corrections are suppressed (round-4 noise floor). Body
+    scale is an independent, much better-conditioned channel for exactly
+    that shallow regime: with the skeleton's segment lengths fixed by the
+    subject parameters, the projected marker spread scales as 1/depth, so
+
+        size_meas / size_rec = d_rec / d_true
+        shift = d_true - d_rec = d_rec * (size_rec / size_meas - 1)
+
+    Per frame the 'size' is the weighted RMS spread of the likelihood-
+    gated detections about their centroid vs the same spread of the
+    reprojected FK markers; the per-frame implied shifts are combined by
+    a length-weighted median (pose error perturbs single frames by a few
+    percent but is near-zero-mean across a trial, unlike the one-sided
+    hover bias of the foot channel). Frames with fewer than
+    ``min_markers`` gated detections carry no scale signal and are
+    dropped; a trial needs ``min_frames`` surviving frames and a
+    between-frame spread (robust MAD) below ``max_spread_ratio`` x the
+    median magnitude — wildly disagreeing frames mean pose error
+    dominates the scale signal and the channel abstains (returns 0.0).
+
+    The reference has no counterpart — its monocular depth error simply
+    persists (BASELINE.md dd MPE 156.6 mm is dominated by it); this
+    channel recovers the shallow corrections the round-4 penetration
+    guard deliberately forfeited (VERDICT r4 ask #5)."""
+    from ..ops import camera as cam_ops
+
+    q = np.asarray(q, np.float64)
+    N = q.shape[0]
+    with host_cpu():
+        pts = np.asarray(sk.fk_markers(q, subject))            # (N, 24, 3)
+        proj = (cam_ops.project_fisheye if fisheye
+                else cam_ops.project_pinhole)
+        uv_rec = np.asarray(proj(pts.reshape(-1, 3), K, D_dist, R_cam,
+                                 t_cam)).reshape(N, -1, 2)
+    meas = np.asarray(meas, np.float64)       # (N, L, 2, W) or (N, L, 2)
+    w = np.asarray(weight, np.float64)        # (N, L, W) or (N, L)
+    if meas.ndim == 4:                        # collapse the W axis: best det
+        wbest = w.argmax(axis=-1)
+        meas = np.take_along_axis(
+            meas, wbest[:, :, None, None], axis=-1)[..., 0]
+        w = np.max(w, axis=-1)
+    t = np.asarray(t_cam, np.float64).reshape(3)
+    c = -np.asarray(R_cam, np.float64).T @ t
+    d_rec = np.linalg.norm(q[:, :3] - c[None], axis=1)         # (N,)
+    shifts, wts = [], []
+    for i in range(N):
+        m = w[i] > 0
+        if m.sum() < min_markers:
+            continue
+        wm = w[i][m]
+        mu_m = (wm[:, None] * meas[i][m]).sum(0) / wm.sum()
+        mu_r = (wm[:, None] * uv_rec[i][m]).sum(0) / wm.sum()
+        s_m = np.sqrt((wm[:, None] * (meas[i][m] - mu_m) ** 2).sum()
+                      / wm.sum())
+        s_r = np.sqrt((wm[:, None] * (uv_rec[i][m] - mu_r) ** 2).sum()
+                      / wm.sum())
+        if s_m < 1e-6 or s_r < 1e-6:
+            continue
+        shifts.append(d_rec[i] * (s_r / s_m - 1.0))
+        wts.append(float(m.sum()))
+    if len(shifts) < min_frames:
+        return 0.0
+    shifts = np.asarray(shifts)
+    wts = np.asarray(wts)
+    order = np.argsort(shifts)
+    cw = np.cumsum(wts[order])
+    med = float(shifts[order[np.searchsorted(cw, 0.5 * cw[-1])]])
+    mad = float(np.median(np.abs(shifts - med)))
+    if mad > max_spread_ratio * max(abs(med), 1e-9):
+        return 0.0
+    return float(np.clip(med, -max_shift_m, max_shift_m))
+
+
 def ray_depth_correction(q: np.ndarray, subject: SubjectParams, fps: float,
                          ground_z: float, R_cam: np.ndarray,
                          t_cam: np.ndarray,

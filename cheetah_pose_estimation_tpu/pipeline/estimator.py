@@ -554,10 +554,15 @@ def estimate_kinematics(est: CheetahEstimator,
         # batched pipeline's _anchor_polish)
         from . import depth_anchor as danchor
         ci = scene.cam_idx
-        qc, stw, _ = danchor.ray_depth_correction(
+        qc, stw, shift = danchor.ray_depth_correction(
             est.q, est.subject, scene.fps, p.ground_plane_height,
             scene.r_arr[ci], scene.t_arr[ci])
-        if stw.sum() > 0:
+        # zero shift = no trustworthy depth evidence: skip the polish too
+        # (its stance-z pull acts on ALL stance frames including hovering
+        # ones; polishing an unshifted trajectory over-corrects depth by
+        # the hover bias — measured dd MPE 182 -> 232 mm on the bench set,
+        # same gate as pipeline/batched._anchor_polish)
+        if stw.sum() > 0 and float(np.max(np.abs(shift))) != 0.0:
             acfg = dataclasses.replace(cfg, use_gmm=False, use_ar=False,
                                        **danchor.POLISH_CFG)
             afte = kin.KinematicFTE(acfg, est.subject)

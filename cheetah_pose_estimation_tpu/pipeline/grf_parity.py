@@ -128,7 +128,11 @@ def _stance_curve(x: np.ndarray, stance_col: np.ndarray,
                   n_pts: int = 50) -> Optional[np.ndarray]:
     """Longest contiguous stance window of a foot, resampled to n_pts
     (the reference's stance-normalized gait curves, results.py:546-620)."""
+    # frames 0-1 are backward-difference boundary garbage — excluded here
+    # exactly as in the RMSE columns (sl = slice(2, None)); a stance window
+    # touching them would contaminate sagittal_curve_corr
     on = np.flatnonzero(stance_col > 0)
+    on = on[on >= 2]
     if on.size < 4:
         return None
     splits = np.split(on, np.flatnonzero(np.diff(on) > 1) + 1)

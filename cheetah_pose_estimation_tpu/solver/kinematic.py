@@ -92,6 +92,16 @@ class KinematicData(NamedTuple):
     # (pipeline.contacts); zero weights (the default) disable every term.
     ground_z: jnp.ndarray = np.zeros(())     # scalar plane elevation [m]
     stance_w: jnp.ndarray = np.zeros((1, 4))  # (N, 4) in [0, 1]
+    # base-pose anchor (data-driven bootstrap): reference (N, 6) base
+    # translation+orientation the GMM/AR-constrained solves are pinned to.
+    # Round-5 forced-vs-gated study (docs/artifacts/forced_vs_gated.csv):
+    # the GMM pose prior's damage is almost entirely GLOBAL — it pulls
+    # joints toward the learned manifold and the measurement term
+    # compensates by dragging base depth (per-trial MPE +90..+150 mm at
+    # near-unchanged MPJPE, CoM-vel worse on 10/10 trials). Pinning the
+    # base to the prior-free solution lets the prior fix pose without
+    # corrupting depth. Active only when config.base_anchor_trans/rot > 0.
+    base_ref: jnp.ndarray = np.zeros((1, 6))  # (N, 6)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -140,6 +150,12 @@ class KinematicConfig:
     ground_weight: float = 0.0
     penetration_weight: float = 0.0
     noslip_weight: float = 0.0
+    # base-pose anchor weights (active with KinematicData.base_ref): pin
+    # the 6 base DOF to a reference trajectory — the data-driven bootstrap
+    # pins them to the prior-free solve (see KinematicData.base_ref).
+    # trans in m^-2 (4e2 ~ sigma 5 cm), rot in rad^-2 (1e2 ~ sigma 0.1 rad)
+    base_anchor_trans: float = 0.0
+    base_anchor_rot: float = 0.0
     # absolute Tikhonov floor on the normal matrix diagonal. The skeleton has
     # exactly one unobservable DOF per leg/tail segment (rotation about the
     # cylinder axis: markers sit on the axis, and the reference gives those
@@ -432,6 +448,13 @@ class KinematicFTE:
             rw = jax.vmap(lambda qt: sk.joint_residuals(qt))(q)
             penalty = penalty + (1.0 / s)**4 * cfg.weld_weight * jnp.sum(
                 data.frame_valid[:, None] * rw * rw)
+        if cfg.base_anchor_trans > 0.0 or cfg.base_anchor_rot > 0.0:
+            wb = jnp.asarray([cfg.base_anchor_trans] * 3
+                             + [cfg.base_anchor_rot] * 3, q.dtype)
+            rb = q[:, :6] - jnp.broadcast_to(
+                data.base_ref.astype(q.dtype), (q.shape[0], 6))
+            penalty = penalty + jnp.sum(
+                data.frame_valid[:, None] * wb[None, :] * rb * rb)
         return {"measurement": meas, "model": model, "pose": pose,
                 "motion": motion, "limit": penalty}
 
@@ -603,6 +626,16 @@ class KinematicFTE:
             g = g + ww * fv * jnp.einsum("trj,tr->tj", Jw, rw)
             Hdiag = Hdiag + ww * fv[..., None] \
                 * jnp.einsum("tri,trj->tij", Jw, Jw)
+
+        if cfg.base_anchor_trans > 0.0 or cfg.base_anchor_rot > 0.0:
+            # base-pose anchor: exact quadratic (diagonal blocks only)
+            wb = jnp.asarray([cfg.base_anchor_trans] * 3
+                             + [cfg.base_anchor_rot] * 3, dtype)
+            rb = q[:, :6] - jnp.broadcast_to(
+                data.base_ref.astype(dtype), (N, 6))
+            g = g.at[:, :6].add(2.0 * fv * wb[None, :] * rb)
+            Hb = jnp.zeros((NQ,), dtype).at[:6].set(2.0 * wb)
+            Hdiag = Hdiag + fv[..., None] * jnp.diag(Hb)[None]
 
         lower = H_acc.lower
         if self._ground_on:

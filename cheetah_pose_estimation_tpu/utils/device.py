@@ -21,9 +21,16 @@ def enable_compile_cache(path: str = None) -> None:
     the repo so repeated pipeline invocations on one machine share it."""
     # one cache subdir per platform: the tunneled backend remote-compiles
     # on a machine whose CPU features differ from this host's, and a local
-    # CPU process loading those AOT entries risks SIGILL
-    plat = os.environ.get("JAX_PLATFORMS", "default").split(",")[0] or \
-        "default"
+    # CPU process loading those AOT entries risks SIGILL (or silent
+    # miscomputation). The in-process jax config takes precedence over the
+    # environment: the axon plugin force-selects itself past
+    # JAX_PLATFORMS=cpu from the env, so scripts pin the platform via
+    # jax.config.update("jax_platforms", "cpu") — keying the cache off the
+    # env alone filed those CPU compiles under the tunnel's dir (and
+    # loaded the tunnel host's incompatible CPU AOT entries back)
+    cfg_plat = getattr(jax.config, "jax_platforms", None) or ""
+    plat = (cfg_plat or os.environ.get("JAX_PLATFORMS", "default")
+            ).split(",")[0] or "default"
     if plat == "cpu":
         # CPU AOT entries are ISA-feature-specific too: a cache populated
         # on one host emits "machine type doesn't match ... could lead to
