@@ -186,6 +186,7 @@ def main():
 
     qs64 = np.asarray(st.q, np.float64)
     mpe_kin, mpjpe_kin, cv_kin = score(qs64)
+    pt_kin = bench_lib.score_per_trial(qs64, trials, fpss, subject)
     print(f"# kinematic: compile={kin_compile_s:.1f}s run={kin_s*1e3:.0f}ms "
           f"MPE={mpe_kin:.0f}mm MPJPE={mpjpe_kin:.0f}mm CoMvel={cv_kin:.3f}",
           file=sys.stderr)
@@ -230,15 +231,19 @@ def main():
                 lambda x: jnp.broadcast_to(
                     jnp.asarray(x, dtype),
                     (B,) + np.asarray(x).shape), gp))
+        # production dd configs (pipeline/batched.run_monocular_batched):
+        # base-pose anchor pins the prior-constrained solves to the
+        # prior-free base (estimator.DD_BASE_ANCHOR)
         chain = kin.KinematicFTE(
-            kin.KinematicConfig(fisheye=True, robust=True, use_gmm=True),
-            subject)
+            kin.KinematicConfig(fisheye=True, robust=True, use_gmm=True,
+                                **est_mod.DD_BASE_ANCHOR), subject)
         vchain = jax.jit(jax.vmap(chain.make_solver()))
         free = kin.KinematicFTE(kin.KinematicConfig(), subject)
         vcost = jax.jit(jax.vmap(lambda q, d: free._cost(q, d, 1.0)))
         fte_dd = kin.KinematicFTE(
             kin.KinematicConfig(fisheye=True, robust=True, use_gmm=True,
-                                use_ar=True), subject)
+                                use_ar=True, **est_mod.DD_BASE_ANCHOR),
+            subject)
         vdd = jax.jit(jax.vmap(fte_dd.make_solver()))
         # depth-anchor polish + acceptance gate (pipeline.batched
         # _anchor_polish semantics on the bench problems)
@@ -246,6 +251,7 @@ def main():
 
         from cheetah_pose_estimation_tpu.pipeline import (
             depth_anchor as danchor)
+        scan = danchor.make_depth_linescan(subject, dtype)
         afte = kin.KinematicFTE(_dc.replace(
             kin.KinematicConfig(fisheye=True, robust=True),
             **danchor.POLISH_CFG), subject)
@@ -285,15 +291,16 @@ def main():
 
         def dd_host(st_free_q):
             """Host part: prior gate + AR anchors from the bootstrap."""
-            st_chain = vchain(st_free_q, bat_dd)
-            c_free = np.asarray(vcost(st_free_q, bat_dd), np.float64)
-            c_chain = np.asarray(vcost(st_chain.q, bat_dd), np.float64)
+            bat0 = bat_dd._replace(base_ref=st_free_q[:, :, :6])
+            st_chain = vchain(st_free_q, bat0)
+            c_free = np.asarray(vcost(st_free_q, bat0), np.float64)
+            c_chain = np.asarray(vcost(st_chain.q, bat0), np.float64)
             broken = ~np.isfinite(c_chain) & np.isfinite(c_free)
             if broken.any():
                 raise RuntimeError(
                     f"dd chain non-finite on trials "
                     f"{np.flatnonzero(broken).tolist()}")
-            prior_ok = c_chain <= 1.10 * c_free
+            prior_ok = est_mod.prior_gate_accept(c_chain, c_free)
             qb = jnp.where(jnp.asarray(prior_ok)[:, None, None],
                            st_chain.q, st_free_q)
             qb_np = np.asarray(qb, np.float64)
@@ -307,35 +314,88 @@ def main():
                                                           vl))
                 ypreds.append(yp)
                 valids.append(vl)
-            bat = bat_dd._replace(ar=kin.ARAnchor(
+            bat = bat0._replace(ar=kin.ARAnchor(
                 jnp.asarray(np.stack(ypreds), dtype),
                 jnp.asarray(np.stack(ws), dtype),
                 jnp.asarray(np.stack(valids), dtype)))
             return qb, bat, prior_ok
 
+        def dd_depth(qs_in, bat, prior_ok):
+            """Depth stack: line-scan with the body-scale constraints +
+            prior re-polish of the engaged shifted winners at the
+            corrected depth (production pipeline/batched semantics — the
+            open-loop foot-channel polish is subsumed by the scan's
+            cost-judged candidates and is skipped in the dd mode)."""
+            qs_np = np.asarray(qs_in, np.float64)
+            rays = np.zeros((B, n_frames, 3))
+            veto = np.zeros(B)
+            for i, tr in enumerate(trials):
+                n = tr.q_gt.shape[0]
+                cam = jax.tree.map(lambda x: np.asarray(x)[i], bat.cam)
+                rays[i] = danchor.camera_ray(qs_np[i], cam.R[0], cam.t[0])
+                veto[i] = danchor.scale_median(
+                    qs_np[i, :n], subject,
+                    np.asarray(bat.meas)[i, :n, 0],
+                    np.asarray(bat.weight)[i, :n, 0],
+                    cam.K[0], cam.D[0], cam.R[0], cam.t[0])
+            q_s, shifts = scan(jnp.asarray(qs_np, dtype), bat, rays, veto)
+            qs2 = np.asarray(q_s, np.float64)
+            moved = (shifts != 0.0) & prior_ok
+            if moved.any():
+                fv = np.asarray(bat.frame_valid)
+                yp2, vl2 = [], []
+                for i in range(B):
+                    x_c = np.asarray(sk.relative_pose(qs2[i]))
+                    yp, vl = armodel.anchor_predictions(mm, x_c)
+                    yp2.append(yp)
+                    vl2.append(vl * fv[i])
+                bat2 = bat._replace(
+                    base_ref=jnp.asarray(qs2[:, :, :6], dtype),
+                    ar=bat.ar._replace(
+                        y_pred=jnp.asarray(np.stack(yp2), dtype),
+                        valid=jnp.asarray(np.stack(vl2), dtype)))
+                st2 = vdd(jnp.asarray(qs2, dtype), bat2)
+                qs2 = np.where(moved[:, None, None],
+                               np.asarray(st2.q, np.float64), qs2)
+            return jnp.asarray(qs2, dtype), shifts
+
         t0 = time.time()
         qb, bat, prior_ok = dd_host(st.q)
         st_dd = vdd(qb, bat)
-        q_dd = anchor(st_dd.q, bat)
+        # rejected trials ship the prior-free solution (production parity)
+        q_mix = jnp.where(jnp.asarray(prior_ok)[:, None, None],
+                          st_dd.q, st.q)
+        q_dd, dd_shifts = dd_depth(q_mix, bat, prior_ok)
         q_dd.block_until_ready()
         dd_compile_s = time.time() - t0
         t0 = time.time()
         for _ in range(reps):
             qb, bat, prior_ok = dd_host(st.q)
             st_dd = vdd(qb, bat)
-            q_dd = anchor(st_dd.q, bat)
+            q_mix = jnp.where(jnp.asarray(prior_ok)[:, None, None],
+                              st_dd.q, st.q)
+            q_dd, dd_shifts = dd_depth(q_mix, bat, prior_ok)
             q_dd.block_until_ready()
         dd_s = (time.time() - t0) / reps
         qs_dd64 = np.asarray(q_dd, np.float64)
         mpe_dd, mpjpe_dd, cv_dd = score(qs_dd64)
+        dd_pt = bench_lib.score_per_trial(qs_dd64, trials, fpss, subject)
         dd_stats = {"mpe_mm": mpe_dd, "mpjpe_mm": mpjpe_dd,
                     "comvel_rmse": cv_dd, "run_s": dd_s,
                     "compile_s": dd_compile_s,
-                    "prior_ok": int(prior_ok.sum())}
+                    "prior_ok": int(prior_ok.sum()),
+                    "prior_ok_mask": prior_ok.astype(int).tolist(),
+                    "scan_shifts": np.round(dd_shifts, 2).tolist(),
+                    "per_trial": [dict(mpe_mm=round(r[0], 1),
+                                       mpjpe_mm=round(r[1], 1),
+                                       comvel_rmse=round(r[2], 3))
+                                  for r in dd_pt]}
         print(f"# data-driven: compile={dd_compile_s:.1f}s "
               f"run={dd_s*1e3:.0f}ms MPE={mpe_dd:.0f}mm "
               f"MPJPE={mpjpe_dd:.0f}mm CoMvel={cv_dd:.3f} "
-              f"prior_ok={int(prior_ok.sum())}/{B}", file=sys.stderr)
+              f"prior_ok={int(prior_ok.sum())}/{B} "
+              f"scan_shifts={np.round(dd_shifts, 2).tolist()}",
+              file=sys.stderr)
     except Exception:
         traceback.print_exc(file=sys.stderr)
         dd_stats = None
@@ -394,22 +454,20 @@ def main():
         # reconstruction it warm-starts from (1.02x leaves room
         # for per-trial noise while catching any regression to the round-1
         # "physics makes it worse" behavior); (b) it must IMPROVE mean
-        # CoM-velocity RMSE vs its warm start — the dynamics-level quantity
-        # the stage owns (the reference's physics mode pattern 0.70 -> 0.50,
-        # BASELINE.md; here the grf_max cap + base-translation deadband make
-        # the eliminated contact forces correct depth wobble instead of
-        # absorbing it).
+        # CoM-velocity RMSE by >= 5% vs the KINEMATIC stage — re-based from
+        # the dd warm start per VERDICT r4 ask #2: a gate measured against
+        # the immediately-preceding stage can be passed by that stage
+        # regressing the metric first. The dynamics-level quantity is owned
+        # by this stage (reference physics pattern 0.70 -> 0.50,
+        # BASELINE.md).
         warm_mpe = dd_stats["mpe_mm"] if dd_stats is not None else mpe_kin
-        # the CoM gate demands a >= 5% improvement (VERDICT r3 ask #4,
-        # raised from "improves" once earned: measured 7.8% on the r4
-        # 10-trial bench with base_deadband=0.0)
         ok = bool(np.all(np.isfinite(kqs))) \
             and mpe_phys < 1.02 * warm_mpe \
-            and cv_phys < 0.95 * warm_cv
+            and cv_phys < 0.95 * cv_kin
         print(f"# physics: compile={phys_compile_s:.1f}s host={host_s:.1f}s "
               f"run={phys_s*1e3:.0f}ms MPE={mpe_phys:.0f}mm "
               f"MPJPE={mpjpe_phys:.0f}mm CoMvel={cv_phys:.3f} "
-              f"(warm {warm_cv:.3f}) ok={ok}",
+              f"(dd warm {warm_cv:.3f}, kin {cv_kin:.3f}) ok={ok}",
               file=sys.stderr)
     except Exception:
         traceback.print_exc(file=sys.stderr)
@@ -420,7 +478,11 @@ def main():
     modes_out = {"default": {"mpe_mm": mpe_kin, "mpjpe_mm": mpjpe_kin,
                              "comvel_rmse": cv_kin,
                              "run_s_per_trial": kin_s / B,
-                             "compile_s": kin_compile_s}}
+                             "compile_s": kin_compile_s,
+                             "per_trial": [dict(mpe_mm=round(r[0], 1),
+                                                mpjpe_mm=round(r[1], 1),
+                                                comvel_rmse=round(r[2], 3))
+                                           for r in pt_kin]}}
     if dd_stats is not None:
         dd_stats["run_s_per_trial"] = dd_stats.pop("run_s") / B
         modes_out["data_driven"] = dd_stats
@@ -436,6 +498,21 @@ def main():
                   encoding="utf-8") as f:
             json.dump({"device": jax.devices()[0].platform,
                        "n_trials": B, "modes": modes_out}, f, indent=1)
+        # README source-of-truth snippet (VERDICT r4 ask #4: every README
+        # number must exist in an artifact generated by HEAD code — this
+        # emits the headline table so the README can copy it verbatim)
+        lines = ["<!-- generated by bench.py - copy numbers verbatim, do "
+                 "not hand-edit -->",
+                 "| mode | MPE (mm) | MPJPE (mm) | CoM-vel RMSE (m/s) | "
+                 "s/trial |",
+                 "|---|---|---|---|---|"]
+        for name, m in modes_out.items():
+            lines.append(
+                f"| {name} | {m['mpe_mm']:.1f} | {m['mpjpe_mm']:.1f} | "
+                f"{m['comvel_rmse']:.3f} | {m['run_s_per_trial']:.2f} |")
+        with open("docs/artifacts/README_SNIPPET.md", "w",
+                  encoding="utf-8") as f:
+            f.write("\n".join(lines) + "\n")
     except OSError:
         pass
 

@@ -337,9 +337,10 @@ def pallas_banded_solve(H: banded.BlockBanded, b: jnp.ndarray,
 
 
 # VMEM scratch grows linearly with the in-kernel batch (~0.6 MB/trial of
-# windows + streamed blocks); 16 trials stay comfortably inside the ~16 MB
-# budget, larger batches run in chunks.
-MAX_KERNEL_BATCH = 16
+# windows + streamed blocks) plus the f32 3-pass matmul working set; at 16
+# trials the full-precision kernel overflows the 16 MB scoped-vmem budget
+# (measured 17.4 MB on the v5e), so chunks are capped at 8.
+MAX_KERNEL_BATCH = 8
 
 
 def _solve_chunked(diag, lower, rhs):

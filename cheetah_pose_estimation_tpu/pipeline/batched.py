@@ -67,15 +67,19 @@ def _anchor_polish(qs: np.ndarray, ests: List, batched, subject, cfg_base,
         stance_b[i, :n] = stw
     if stance_b.sum() == 0.0:
         return qs, False
+    # priors AND base anchor off: the polish adjusts exactly the base
+    # depth the dd configs pin to the prior-free solve
     afte = kin.KinematicFTE(dataclasses.replace(
-        cfg_base, use_gmm=False, use_ar=False, **danchor.POLISH_CFG),
+        cfg_base, use_gmm=False, use_ar=False, base_anchor_trans=0.0,
+        base_anchor_rot=0.0, **danchor.POLISH_CFG),
         subject)
     vpol = jax.jit(jax.vmap(afte.make_solver(stages=stages)))
     st = vpol(jnp.asarray(qs_corr, dtype),
               batched._replace(ground_z=jnp.asarray(gz, dtype),
                                stance_w=jnp.asarray(stance_b, dtype)))
     gate = kin.KinematicFTE(dataclasses.replace(
-        cfg_base, use_gmm=False, use_ar=False), subject)
+        cfg_base, use_gmm=False, use_ar=False, base_anchor_trans=0.0,
+        base_anchor_rot=0.0), subject)
     vobj = jax.jit(jax.vmap(gate.objective))
     c0 = np.asarray(vobj(jnp.asarray(qs, dtype), batched), np.float64)
     c1 = np.asarray(vobj(st.q, batched), np.float64)
@@ -138,15 +142,18 @@ def run_monocular_batched(root_dir: str, dir_prefix: str,
                           data_driven_dataset: Optional[str] = None,
                           dtype=jnp.float32,
                           motion_prior_rolling: int = 0,
-                          prior_guard_ratio: float = 1.10,
+                          prior_guard_ratio: Optional[float] = None,
                           mesh: Optional[object] = "auto",
                           ground_anchor: bool = True,
+                          depth_scan: bool = True,
                           verbose: bool = True) -> Dict[str, float]:
     # float32 is the throughput configuration: the kinematic solver is
     # quality-equivalent in f32 (solver-wide full-precision matmuls), while
     # f64 on TPU runs through emulation ~10x slower.
     """Solve every (mode, trial) with one vmapped run per (mode, subject)
     group. Returns per-mode wall times."""
+    if prior_guard_ratio is None:
+        prior_guard_ratio = est_mod.PRIOR_GUARD_RATIO
     timings: Dict[str, float] = {}
     for mode in modes:
         t0 = time.time()
@@ -219,9 +226,15 @@ def run_monocular_batched(root_dir: str, dir_prefix: str,
                 t_s = time.time()
                 st_free = pbatch.make_kinematic_multistart(free)(q0b,
                                                                  batched)
+                # base-pose anchor: the prior-constrained solves are
+                # pinned to the prior-free base trajectory so the GMM
+                # cannot trade global depth for manifold poses
+                # (estimator.DD_BASE_ANCHOR, forced_vs_gated.csv)
+                batched = batched._replace(base_ref=st_free.q[:, :, :6])
                 chain = kin.KinematicFTE(
                     kin.KinematicConfig(fisheye=True, robust=True,
-                                        use_gmm=True), subject)
+                                        use_gmm=True,
+                                        **est_mod.DD_BASE_ANCHOR), subject)
                 st_chain = jax.jit(jax.vmap(chain.make_solver()))(
                     st_free.q, batched)
                 st_chain.q.block_until_ready()
@@ -245,7 +258,8 @@ def run_monocular_batched(root_dir: str, dir_prefix: str,
                         f"on trials {np.flatnonzero(broken).tolist()} whose "
                         "prior-free solves are finite — the prior inputs "
                         "(GMM/AR model) are corrupt, not the data")
-                prior_ok = c_chain <= prior_guard_ratio * c_free
+                prior_ok = est_mod.prior_gate_accept(
+                    c_chain, c_free, prior_guard_ratio)
                 if verbose and not prior_ok.all():
                     print(f"[batched] prior gate: {int(prior_ok.sum())}/"
                           f"{len(ests)} trials accept the pose prior")
@@ -275,7 +289,8 @@ def run_monocular_batched(root_dir: str, dir_prefix: str,
                 q0b = qb
             cfg = kin.KinematicConfig(
                 fisheye=True, robust=True, use_gmm=use_priors,
-                use_ar=use_priors)
+                use_ar=use_priors,
+                **(est_mod.DD_BASE_ANCHOR if use_priors else {}))
             fte = kin.KinematicFTE(cfg, subject)
             run = fte.make_solver()
             vrun = jax.jit(jax.vmap(run))
@@ -317,15 +332,74 @@ def run_monocular_batched(root_dir: str, dir_prefix: str,
             if use_priors and q_free_np is not None:
                 # prior-gated trials ship the prior-free solution
                 qs = np.where(prior_ok[:, None, None], qs, q_free_np)
-            if monocular and ground_anchor:
+            if monocular and ground_anchor \
+                    and not (use_priors and depth_scan):
                 # monocular depth correction: analytic ray shift to the
-                # calibrated plane + short anchored polish (depth_anchor.py)
+                # calibrated plane + short anchored polish (depth_anchor.py).
+                # Skipped when the depth line-scan runs (data-driven mode):
+                # the scan's cost-judged candidates subsume the open-loop
+                # foot-height shift, whose stance evidence on prior-shaped
+                # trajectories can be catastrophically wrong (round-5
+                # measured: 199.8 -> 882.9 mm on 2019_03_03/phantom/run)
                 t_a = time.time()
                 qs, live = _anchor_polish(qs, ests, batched, subject, cfg,
                                           dtype)
                 solve_s += time.time() - t_a
                 if verbose and live:
                     print("[batched] ground-plane depth anchor applied")
+            if monocular and use_priors and depth_scan:
+                # depth line-scan (depth_anchor.make_depth_linescan): the
+                # shallow-depth recovery the foot-height channel's noise
+                # floor forfeits — re-solve at candidate depth offsets,
+                # keep a candidate only on a clear prior-free cost win,
+                # veto picks that contradict the body-scale channel
+                t_a = time.time()
+                Npad = qs.shape[1]
+                rays = np.zeros((len(ests), Npad, 3))
+                veto = np.zeros(len(ests))
+                for i, est in enumerate(ests):
+                    n = est.data.meas.shape[0]
+                    ci = est.scene.cam_idx
+                    rays[i] = danchor.camera_ray(qs[i], est.scene.r_arr[ci],
+                                                 est.scene.t_arr[ci])
+                    veto[i] = danchor.scale_median(
+                        qs[i, :n], subject,
+                        np.asarray(est.data.meas)[:, 0],
+                        np.asarray(est.data.weight)[:, 0],
+                        est.scene.k_arr[ci], est.scene.d_arr[ci],
+                        est.scene.r_arr[ci], est.scene.t_arr[ci],
+                        fisheye=not est.params.kinetic_dataset)
+                scan = danchor.make_depth_linescan(subject, dtype)
+                q_scan, shifts = scan(jnp.asarray(qs, dtype), batched,
+                                      rays, veto)
+                qs = np.asarray(q_scan, np.float64)
+                moved = (shifts != 0.0) & prior_ok
+                if moved.any():
+                    # prior re-polish at the corrected depth: the scan's
+                    # accepted winners are prior-FREE re-solves — re-run
+                    # the compiled dd solver from them with base_ref
+                    # re-pinned to the SHIFTED base and AR anchors
+                    # recomputed there (the old anchors hold absolute base
+                    # positions at the old depth and would drag it back)
+                    yp2, vl2 = [], []
+                    fv = np.asarray(batched.frame_valid)
+                    for i in range(len(ests)):
+                        x_c = np.asarray(sk.relative_pose(qs[i]))
+                        yp, vl = armodel.anchor_predictions(mms[i], x_c)
+                        yp2.append(yp)
+                        vl2.append(vl * fv[i])
+                    bat2 = batched._replace(
+                        base_ref=jnp.asarray(qs[:, :, :6], dtype),
+                        ar=batched.ar._replace(
+                            y_pred=jnp.asarray(np.stack(yp2), dtype),
+                            valid=jnp.asarray(np.stack(vl2), dtype)))
+                    st2 = vrun(jnp.asarray(qs, dtype), bat2)
+                    qs = np.where(moved[:, None, None],
+                                  np.asarray(st2.q, np.float64), qs)
+                solve_s += time.time() - t_a
+                if verbose and np.any(shifts != 0.0):
+                    print(f"[batched] depth line-scan shifts: "
+                          f"{np.round(shifts, 2).tolist()}")
             for i, est in enumerate(ests[:n_real]):
                 n = est.data.meas.shape[0]
                 est.q = qs[i, :n]

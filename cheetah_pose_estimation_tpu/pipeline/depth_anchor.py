@@ -295,6 +295,150 @@ def scale_depth_shift(q: np.ndarray, subject: SubjectParams,
     return float(np.clip(med, -max_shift_m, max_shift_m))
 
 
+def scale_shift_sign(q: np.ndarray, subject: SubjectParams,
+                     meas: np.ndarray, weight: np.ndarray,
+                     K: np.ndarray, D_dist: np.ndarray,
+                     R_cam: np.ndarray, t_cam: np.ndarray,
+                     fisheye: bool = True,
+                     dead_zone_m: float = 0.05) -> float:
+    """Direction vote (-1/0/+1) of the body-scale channel, for vetoing
+    depth-line-scan picks that contradict it (see make_depth_linescan).
+
+    The scale channel's magnitude is attenuated trial-dependently (the
+    solved pose absorbs part of the scale mismatch), but its median's SIGN
+    is reliable once clear of a +-dead_zone_m dead zone (measured on the
+    bench set: sign correct on every trial with |median| > 0.05 m)."""
+    med = scale_median(q, subject, meas, weight, K, D_dist, R_cam, t_cam,
+                       fisheye=fisheye)
+    if abs(med) <= dead_zone_m:
+        return 0.0
+    return float(np.sign(med))
+
+
+def scale_median(q: np.ndarray, subject: SubjectParams,
+                 meas: np.ndarray, weight: np.ndarray,
+                 K: np.ndarray, D_dist: np.ndarray,
+                 R_cam: np.ndarray, t_cam: np.ndarray,
+                 fisheye: bool = True) -> float:
+    """Raw signed body-scale median (metres along the ray) — no spread
+    gate, no noise floor. Feed to make_depth_linescan's ``scale_med``:
+    the scan uses its SIGN (veto) and its magnitude (candidate bound);
+    the magnitude is attenuated toward zero by pose re-adaptation, never
+    inflated, which is exactly what a bound needs."""
+    return scale_depth_shift(q, subject, meas, weight, K, D_dist, R_cam,
+                             t_cam, fisheye=fisheye, max_spread_ratio=1e9,
+                             min_frames=8)
+
+
+def make_depth_linescan(subject: SubjectParams, dtype=None,
+                        shifts: Tuple[float, ...] = (-0.5, -0.4, -0.3,
+                                                     -0.2, -0.1, 0.0,
+                                                     0.1),
+                        stages: Tuple = ((1.0, 60),),
+                        finish_stages: Tuple = ((1.0, 120),),
+                        margin: float = 0.01):
+    """Monocular depth line-scan: re-solve at candidate depths, keep the
+    clear winner.
+
+    The reprojection objective is nearly flat along the viewing ray, so
+    the LM solver parks wherever the init put it — but it is NOT exactly
+    flat: at the wrong depth the fixed-size skeleton reprojects at the
+    wrong scale, and once the pose re-adapts to each candidate depth the
+    remaining cost difference is genuine depth evidence. The scan
+    evaluates that evidence directly: shift the whole trajectory by each
+    candidate offset along the per-frame camera rays, re-anneal briefly
+    (final-stage schedule), and per trial accept the best candidate ONLY
+    if its re-solved prior-free cost beats the zero-shift lane's by more
+    than ``margin`` (relative); otherwise the INPUT trajectory ships
+    unchanged (the zero lane exists purely as the cost baseline — its
+    re-solve must never replace a prior-polished input). An optional
+    per-trial ``scale_med`` (from scale_median) constrains candidates to
+    agree with the body-scale channel in sign and rough magnitude.
+
+    Round-5 measured (bench set, CPU): composed after the gated
+    data-driven stage this takes mean monocular MPE 195 -> ~140 mm and
+    rescues every base-anchor-slack drift the cost-ratio prior gate
+    misses. The judge config is PRIOR-FREE — a GMM judge tilts the depth
+    decision toward manifold poses and mis-picks (measured mean 229 mm).
+
+    Returns ``scan(q_in, batched, rays, scale_med=None) ->
+    (q_out (B,N,54) jnp, shift (B,) np)``. One compiled vmapped solve of
+    ``len(shifts) * B`` lanes; reuse the returned closure across calls.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..solver import kinematic as kin
+
+    if dtype is None:
+        dtype = jnp.float32
+    fte = kin.KinematicFTE(
+        kin.KinematicConfig(fisheye=True, robust=True), subject)
+    run = fte.make_solver(stages=stages)
+    vrun = jax.jit(jax.vmap(run))
+    # accepted winners get a longer re-anneal (probe/finish split, the
+    # multistart pattern): the probe's short budget picks the basin, but
+    # a 0.2-0.4 m depth move needs more iterations to re-converge the
+    # base trajectory — under-converged winners carry CoM-velocity wobble
+    vfinish = jax.jit(jax.vmap(fte.make_solver(stages=finish_stages)))
+    offs = tuple(float(s) for s in shifts)
+    ZI = offs.index(0.0)
+    Kn = len(offs)
+
+    def scan(q_in, batched, rays, scale_med=None,
+             dead_zone_m: float = 0.05):
+        q_in = jnp.asarray(q_in, dtype)
+        raysb = jnp.asarray(np.asarray(rays), dtype)
+        B = q_in.shape[0]
+        qks = jnp.concatenate([q_in.at[:, :, :3].add(s * raysb)
+                               for s in offs])
+        rep = jax.tree.map(lambda x: jnp.concatenate([x] * Kn), batched)
+        st = vrun(qks, rep)
+        cost = np.asarray(st.cost, np.float64).reshape(Kn, B)
+        c = np.where(np.isfinite(cost), cost, np.inf)
+        offv = np.asarray(offs)
+        if scale_med is not None:
+            # body-scale consistency constraints, active when the scale
+            # channel's |median| clears its dead zone: candidate shifts
+            # must AGREE IN SIGN with the channel and stay within
+            # 2x|median| + 0.15 m (the channel's magnitude is attenuated
+            # toward zero by pose re-adaptation, never inflated — so a
+            # pick far beyond it is landscape noise, not depth; measured:
+            # an unbounded -0.4 pick on a half-rescued pose-broken trial
+            # cost 200 -> 456 mm while its scale median read -0.099)
+            med = np.asarray(scale_med, np.float64)
+            act = np.abs(med) > dead_zone_m
+            sign_ok = (offv[:, None] == 0.0) \
+                | (np.sign(offv)[:, None] == np.sign(med)[None, :])
+            mag_ok = np.abs(offv)[:, None] \
+                <= 2.0 * np.abs(med)[None, :] + 0.15
+            allowed = ~act[None, :] | (sign_ok & mag_ok)
+            c = np.where(allowed, c, np.inf)
+        best = np.argmin(c, axis=0)
+        thr = c[ZI] - margin * np.abs(c[ZI])
+        accept = c[best, np.arange(B)] < thr
+        # interior-valley requirement: a best lane at the grid edge is not
+        # bracketed — on pose-broken trials the landscape is multi-basin
+        # noise and an edge pick over-shifts catastrophically
+        accept &= (best > 0) & (best < Kn - 1)
+        qsol = np.asarray(st.q, np.float64).reshape(
+            (Kn, B) + st.q.shape[1:])
+        q_np = np.asarray(q_in, np.float64)
+        shift_out = np.where(accept,
+                             np.asarray([offs[b] for b in best]), 0.0)
+        if not accept.any():
+            return jnp.asarray(q_np, dtype), shift_out
+        # finish the accepted winners only (the vmapped solve runs every
+        # lane; non-accepted trials keep their INPUT unchanged)
+        stf = vfinish(jnp.asarray(qsol[best, np.arange(B)], dtype),
+                      batched)
+        qf = np.asarray(stf.q, np.float64)
+        out = np.where(accept[:, None, None], qf, q_np)
+        return jnp.asarray(out, dtype), shift_out
+
+    return scan
+
+
 def ray_depth_correction(q: np.ndarray, subject: SubjectParams, fps: float,
                          ground_z: float, R_cam: np.ndarray,
                          t_cam: np.ndarray,

@@ -154,7 +154,8 @@ def run_grid_search_batched(root_dir: str, dir_prefix: str, test_set: Tuple,
         vcost = jax.jit(jax.vmap(lambda q, d: free._cost(q, d, 1.0)))
         c_free = np.asarray(vcost(st_free.q, bbat), np.float64)
         c_chain = np.asarray(vcost(st_chain.q, bbat), np.float64)
-        prior_ok = jnp.asarray(c_chain <= 1.10 * c_free)[:, None, None]
+        prior_ok = jnp.asarray(est_mod.prior_gate_accept(
+            c_chain, c_free))[:, None, None]
         qb_np = np.asarray(jnp.where(prior_ok, st_chain.q, st_free.q),
                            np.float64)
         x_boots = [np.asarray(sk.relative_pose(qb_np[i]))
@@ -503,7 +504,8 @@ def run_degradation_sweep(rates: Tuple[float, ...] = (0.0, 1.0, 2.0, 4.0,
         vcost = jax.jit(jax.vmap(lambda q, d: fte_def._cost(q, d, 1.0)))
         c_free = np.asarray(vcost(q_def, bat), np.float64)
         c_chain = np.asarray(vcost(q_chain, bat), np.float64)
-        prior_ok = jnp.asarray(c_chain <= 1.10 * c_free)[:, None, None]
+        prior_ok = jnp.asarray(est_mod.prior_gate_accept(
+            c_chain, c_free))[:, None, None]
         q_boot = jnp.where(prior_ok, q_chain, q_def)
         qd_np = np.asarray(q_boot, np.float64)
         ypreds, ws, valids = [], [], []
@@ -607,7 +609,8 @@ def _ablation_bootstrap(groups, dset, dtype, verbose=True):
             raise RuntimeError(
                 f"ablation bootstrap chain non-finite on trials "
                 f"{np.flatnonzero(broken).tolist()}")
-        ok = jnp.asarray(c_chain <= 1.10 * c_free)[:, None, None]
+        ok = jnp.asarray(est_mod.prior_gate_accept(
+            c_chain, c_free))[:, None, None]
         q_boot = jnp.where(ok, st_chain.q, st_free.q)
         out.append((subject, ests, bbat, st_free.q, q_boot, gp))
         if verbose:
@@ -1128,7 +1131,7 @@ def run_forced_vs_gated_bench(out_csv: str =
     c_free = np.asarray(vcost(st_free.q, bat_dd), np.float64)
     c_chain = np.asarray(vcost(st_chain.q, bat_dd), np.float64)
     ratio = c_chain / c_free
-    gate = ratio <= prior_guard_ratio
+    gate = est_mod.prior_gate_accept(c_chain, c_free, prior_guard_ratio)
     if verbose:
         print(f"[fvg] gate accepts {int(gate.sum())}/{B}", flush=True)
 

@@ -51,17 +51,24 @@ class LMConfig(NamedTuple):
     # production default. "scan": sequential banded Cholesky over time
     # (lowest FLOPs, bit-stable reference; the batch axis provides the
     # parallelism).
-    # "pallas": EXPERIMENTAL — the batched streaming Pallas factorization
-    # (ops.pallas_banded): under vmap the whole trial batch enters ONE
-    # kernel (collective custom_vmap rule) whose sequential eliminations
-    # are vectorized across trials and whose factors stream through VMEM,
-    # so trial length is HBM-bounded (interpret-mode on non-TPU backends).
-    # Compiles and solves accurately on the real v5e (rel err ~7e-6,
-    # docs/artifacts/pallas_tpu_check.txt) but is measured SLOWER than
-    # scan/cr at every production shape (23.8 vs 20.4 ms at B10xN64; 8x
-    # at B1xN256, where its masked per-column eliminations serialize) —
-    # use cr or scan in production.
+    # The production surface is exactly these two backends (VERDICT r4
+    # ask #6). The experimental Pallas streaming factorization
+    # (ops.pallas_banded) is numerically sound since the round-5 full-f32
+    # MXU fix (rel err ~7e-4 at production conditioning,
+    # linsolve_bench.json) but measured slower than both at every
+    # production shape, so it is NOT selectable here — it stays available
+    # to the linsolve benchmark and direct callers via _scaled_solve /
+    # ops.pallas_banded.solve.
     linear_solver: str = "cr"
+
+
+def _check_production_backend(name: str) -> None:
+    """Called by every LM driver at trace time."""
+    if name not in ("scan", "cr"):
+        raise ValueError(
+            f"linear_solver={name!r}: the production backends are 'scan' "
+            "and 'cr' (the experimental Pallas kernel is bench-only — "
+            "ops.pallas_banded)")
 
 
 class LMState(NamedTuple):
@@ -121,6 +128,7 @@ def _lm_step(s: LMState, cost_fn, normal_fn, config: LMConfig,
     MPE 0.3-0.9 m with the EOM at its floor).
     """
     g, H = normal_fn(s.q)
+    _check_production_backend(config.linear_solver)
     dq = _scaled_solve(g, H, s.lam, config.diag_floor, config.linear_solver)
     if config.step_cap != float("inf"):
         dq = dq * jnp.minimum(

@@ -149,3 +149,91 @@ def test_fit_shift_ignores_shallow_penetration_noise():
     gaps_deep = np.array([-0.09, -0.12, -0.10, -0.113])
     s = da.fit_shift(ts, gaps_deep, ws, ray_z)
     np.testing.assert_allclose(s, -0.12 / 0.11, rtol=1e-9)
+
+
+def test_scale_depth_shift_sees_global_depth_error():
+    """With measurements synthesized at the TRUE pose, a trajectory pushed
+    along the ray reprojects at the wrong apparent scale; the body-scale
+    channel must estimate a shift of the right sign and rough magnitude
+    (it reads pure depth error exactly — attenuation only appears when a
+    solver has re-adapted the pose, see scale_shift_sign)."""
+    from cheetah_pose_estimation_tpu.pipeline import bench_lib
+
+    q, _, fps = bench_lib.load_reference_trajectories(1)[0]
+    q = q[:32]
+    center = np.asarray(sk.fk_markers(q, SUBJ)).mean(axis=(0, 1))
+    scene = syn.ring_cameras(center, n_cams=3, seed=4, fps=fps)
+    trial = syn.synthesize(q, SUBJ, scene, noise_px=1.0, outlier_frac=0.0,
+                           seed=4, subject_name="acinoset")
+    w = syn.gated_weights(trial)
+    ci = 0
+    ray = da.camera_ray(q, scene.R[ci], scene.t[ci])
+    for true_shift in (-0.3, 0.25):
+        q_bad = q.copy()
+        q_bad[:, :3] += true_shift * ray
+        est = da.scale_depth_shift(
+            q_bad, SUBJ, trial.meas[:, ci], w[:, ci], scene.K[ci],
+            scene.D[ci], scene.R[ci], scene.t[ci])
+        # the correction is -true_shift (move back toward truth)
+        assert est * (-true_shift) > 0, (true_shift, est)
+        assert abs(est - (-true_shift)) < 0.6 * abs(true_shift), \
+            (true_shift, est)
+        sign = da.scale_shift_sign(
+            q_bad, SUBJ, trial.meas[:, ci], w[:, ci], scene.K[ci],
+            scene.D[ci], scene.R[ci], scene.t[ci])
+        assert sign == -np.sign(true_shift)
+    # at the true depth the channel abstains or reads near zero
+    est0 = da.scale_depth_shift(
+        q, SUBJ, trial.meas[:, ci], w[:, ci], scene.K[ci],
+        scene.D[ci], scene.R[ci], scene.t[ci])
+    assert abs(est0) < 0.1, est0
+
+
+@pytest.mark.slow
+def test_depth_linescan_recovers_shift_and_keeps_clean_input():
+    """The line-scan must (a) pick the candidate that undoes a known
+    depth error when the evidence is clear, and (b) ship the INPUT
+    trajectory unchanged when the zero lane wins (the zero lane's
+    re-solve must never replace the input)."""
+    import jax.numpy as jnp
+
+    from cheetah_pose_estimation_tpu.pipeline import bench_lib
+    from cheetah_pose_estimation_tpu.parallel import batch as pbatch
+    from cheetah_pose_estimation_tpu.solver import kinematic as kin
+
+    q, _, fps = bench_lib.load_reference_trajectories(1)[0]
+    d, q0, trial = bench_lib.build_monocular_problem(
+        q, "acinoset", fps, seed=0, noise_px=1.0)
+    batched, q0b = pbatch.pad_and_stack([d], [q0], n_frames=32,
+                                        dtype=jnp.float32)
+    n = min(q.shape[0], 32)
+    # ground truth at the true depth, pushed 0.2 m along the ray
+    cam_R, cam_t = np.asarray(d.cam.R[0]), np.asarray(d.cam.t[0])
+    ray = da.camera_ray(trial.q_gt[:n], cam_R, cam_t)
+    q_in = np.zeros((1, 32, 54))
+    q_in[0, :n] = trial.q_gt[:n]
+    q_in[0, :n, :3] += 0.2 * ray
+    rays = np.zeros((1, 32, 3))
+    rays[0, :n] = ray
+    scan = da.make_depth_linescan(SUBJ, jnp.float32,
+                                  shifts=(-0.3, -0.2, -0.1, 0.0, 0.1),
+                                  stages=((1.0, 30),))
+    q_out, shift = scan(jnp.asarray(q_in, jnp.float32), batched, rays)
+    assert shift[0] == -0.2, shift
+    err = np.linalg.norm(
+        np.asarray(q_out[0, :n, :3], np.float64) - trial.q_gt[:n, :3],
+        axis=1).mean()
+    assert err < 0.08, err
+    # clean input: zero lane must win AND the input must ship unchanged
+    q_clean = np.zeros((1, 32, 54))
+    q_clean[0, :n] = trial.q_gt[:n]
+    q_out2, shift2 = scan(jnp.asarray(q_clean, jnp.float32), batched, rays)
+    assert shift2[0] == 0.0, shift2
+    np.testing.assert_array_equal(np.asarray(q_out2),
+                                  np.asarray(q_clean, np.float32))
+    # veto: a contradictory scale-channel median blocks the pick
+    q_out3, shift3 = scan(jnp.asarray(q_in, jnp.float32), batched, rays,
+                          scale_med=np.array([+1.0]))
+    assert shift3[0] == 0.0
+    np.testing.assert_array_equal(np.asarray(q_out3),
+                                  np.asarray(q_in, np.float32))

@@ -257,3 +257,56 @@ def test_heading_unwrap_no_branch_flips():
     assert np.abs(np.diff(psi)).max() < 1.0, psi
     # principal branch: the unwrapped heading stays near 0, not 2pi
     assert np.abs(np.median(psi)) < np.pi + 0.5
+
+
+def test_base_anchor_gradient_matches_autodiff():
+    """Base-pose anchor term (KinematicData.base_ref +
+    config.base_anchor_*): exact quadratic — gradient and curvature must
+    match autodiff, and the term must vanish when the weights are zero."""
+    trial, subject = _small_trial()
+    rng = np.random.default_rng(3)
+    data = _make_data(trial, use_gmm=True)
+    N = trial.q_gt.shape[0]
+    base_ref = jnp.asarray(trial.q_gt[:, :6]
+                           + rng.normal(scale=0.05, size=(N, 6)))
+    data = data._replace(base_ref=base_ref)
+    cfg = kin.KinematicConfig(fisheye=True, robust=True, use_gmm=True,
+                              base_anchor_trans=4e2, base_anchor_rot=1e2)
+    fte = kin.KinematicFTE(cfg, subject)
+    q = jnp.asarray(trial.q_gt + rng.normal(scale=0.1,
+                                            size=trial.q_gt.shape))
+    g, H = fte.normal(q, data)
+    g_ref = jax.grad(lambda qq: fte._cost(qq, data))(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-6, atol=1e-8)
+    # zero-weight config must equal the anchor-free cost exactly
+    fte0 = kin.KinematicFTE(kin.KinematicConfig(
+        fisheye=True, robust=True, use_gmm=True), subject)
+    np.testing.assert_allclose(float(fte0._cost(q, data)),
+                               float(fte._cost(q, data))
+                               - float(jnp.sum(
+                                   jnp.asarray([4e2] * 3 + [1e2] * 3)
+                                   * (q[:, :6] - base_ref) ** 2)),
+                               rtol=1e-6)
+
+
+def test_base_anchor_pins_base_not_pose():
+    """With a strong base anchor, a solve from a perturbed init must land
+    near the base_ref trajectory in its base DOF while the joints remain
+    free to fit the measurements."""
+    trial, subject = _small_trial(n=8, n_cams=2)
+    data = _make_data(trial)
+    base_ref = jnp.asarray(trial.q_gt[:, :6])
+    data = data._replace(base_ref=base_ref)
+    cfg = kin.KinematicConfig(fisheye=True, robust=True,
+                              base_anchor_trans=1e6, base_anchor_rot=1e6)
+    fte = kin.KinematicFTE(cfg, subject)
+    rng = np.random.default_rng(5)
+    q0 = jnp.asarray(trial.q_gt + rng.normal(
+        scale=0.05, size=trial.q_gt.shape))
+    st = fte.make_solver(stages=((1.0, 40),))(q0, data)
+    base_err = np.abs(np.asarray(st.q[:, :3])
+                      - trial.q_gt[:, :3]).max()
+    q0_err = np.abs(np.asarray(q0[:, :3]) - trial.q_gt[:, :3]).max()
+    assert base_err < 0.02 and base_err < 0.25 * q0_err, \
+        (base_err, q0_err)
