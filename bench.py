@@ -313,14 +313,18 @@ def main():
                 ws.append(armodel.adaptive_motion_weights(mm, yp, x_boot,
                                                           vl))
                 ypreds.append(yp)
-                valids.append(vl)
-            bat = bat0._replace(ar=kin.ARAnchor(
-                jnp.asarray(np.stack(ypreds), dtype),
-                jnp.asarray(np.stack(ws), dtype),
-                jnp.asarray(np.stack(valids), dtype)))
+                # rejected trials: main solve prior-free (see
+                # pipeline/batched); re-polish restores AR post-scan
+                valids.append(vl * float(prior_ok[i]))
+            bat = bat0._replace(
+                ar=kin.ARAnchor(
+                    jnp.asarray(np.stack(ypreds), dtype),
+                    jnp.asarray(np.stack(ws), dtype),
+                    jnp.asarray(np.stack(valids), dtype)),
+                gmm_scale=jnp.asarray(prior_ok.astype(np.float64), dtype))
             return qb, bat, prior_ok
 
-        def dd_depth(qs_in, bat, prior_ok):
+        def dd_depth(qs_in, bat):
             """Depth stack: line-scan with the body-scale constraints +
             prior re-polish of the engaged shifted winners at the
             corrected depth (production pipeline/batched semantics — the
@@ -340,7 +344,7 @@ def main():
                     cam.K[0], cam.D[0], cam.R[0], cam.t[0])
             q_s, shifts = scan(jnp.asarray(qs_np, dtype), bat, rays, veto)
             qs2 = np.asarray(q_s, np.float64)
-            moved = (shifts != 0.0) & prior_ok
+            moved = shifts != 0.0
             if moved.any():
                 fv = np.asarray(bat.frame_valid)
                 yp2, vl2 = [], []
@@ -362,19 +366,14 @@ def main():
         t0 = time.time()
         qb, bat, prior_ok = dd_host(st.q)
         st_dd = vdd(qb, bat)
-        # rejected trials ship the prior-free solution (production parity)
-        q_mix = jnp.where(jnp.asarray(prior_ok)[:, None, None],
-                          st_dd.q, st.q)
-        q_dd, dd_shifts = dd_depth(q_mix, bat, prior_ok)
+        q_dd, dd_shifts = dd_depth(st_dd.q, bat)
         q_dd.block_until_ready()
         dd_compile_s = time.time() - t0
         t0 = time.time()
         for _ in range(reps):
             qb, bat, prior_ok = dd_host(st.q)
             st_dd = vdd(qb, bat)
-            q_mix = jnp.where(jnp.asarray(prior_ok)[:, None, None],
-                              st_dd.q, st.q)
-            q_dd, dd_shifts = dd_depth(q_mix, bat, prior_ok)
+            q_dd, dd_shifts = dd_depth(st_dd.q, bat)
             q_dd.block_until_ready()
         dd_s = (time.time() - t0) / reps
         qs_dd64 = np.asarray(q_dd, np.float64)

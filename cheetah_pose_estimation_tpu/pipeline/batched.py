@@ -276,16 +276,27 @@ def run_monocular_batched(root_dir: str, dir_prefix: str,
                     ws.append(armodel.adaptive_motion_weights(
                         mms[i], yp, x_boot, vl))
                     ypreds.append(yp)
-                    valids.append(vl)
+                    # gate-rejected trials run the MAIN solve prior-free
+                    # (ar.valid zeroed alongside gmm_scale; measured:
+                    # AR-on-rejected shifts their scan landscape enough to
+                    # lose clear depth wins) — the post-scan re-polish
+                    # restores the AR smoothing at the corrected depth
+                    valids.append(vl * float(prior_ok[i]))
                 yp_b, w_b = np.stack(ypreds), np.stack(ws)
                 if not (np.isfinite(yp_b).all() and np.isfinite(w_b).all()):
                     raise RuntimeError(
                         "AR anchor predictions/weights are non-finite — "
                         "motion-model inputs are corrupt")
-                batched = batched._replace(ar=kin.ARAnchor(
-                    jnp.asarray(yp_b, dtype),
-                    jnp.asarray(w_b, dtype),
-                    jnp.asarray(np.stack(valids), dtype)))
+                # AR motion prior on EVERY trial; the GMM pose manifold
+                # gated per trial as a data weight (one compiled solver
+                # serves both populations — kin.KinematicData.gmm_scale)
+                batched = batched._replace(
+                    ar=kin.ARAnchor(
+                        jnp.asarray(yp_b, dtype),
+                        jnp.asarray(w_b, dtype),
+                        jnp.asarray(np.stack(valids), dtype)),
+                    gmm_scale=jnp.asarray(
+                        prior_ok.astype(np.float64), dtype))
                 q0b = qb
             cfg = kin.KinematicConfig(
                 fisheye=True, robust=True, use_gmm=use_priors,
@@ -329,9 +340,6 @@ def run_monocular_batched(root_dir: str, dir_prefix: str,
             solve_s = (solve_s if use_priors else 0.0) \
                 + (time.time() - t_s)
             qs = np.asarray(state.q, np.float64)
-            if use_priors and q_free_np is not None:
-                # prior-gated trials ship the prior-free solution
-                qs = np.where(prior_ok[:, None, None], qs, q_free_np)
             if monocular and ground_anchor \
                     and not (use_priors and depth_scan):
                 # monocular depth correction: analytic ray shift to the
@@ -373,7 +381,7 @@ def run_monocular_batched(root_dir: str, dir_prefix: str,
                 q_scan, shifts = scan(jnp.asarray(qs, dtype), batched,
                                       rays, veto)
                 qs = np.asarray(q_scan, np.float64)
-                moved = (shifts != 0.0) & prior_ok
+                moved = shifts != 0.0
                 if moved.any():
                     # prior re-polish at the corrected depth: the scan's
                     # accepted winners are prior-FREE re-solves — re-run
@@ -387,7 +395,7 @@ def run_monocular_batched(root_dir: str, dir_prefix: str,
                         x_c = np.asarray(sk.relative_pose(qs[i]))
                         yp, vl = armodel.anchor_predictions(mms[i], x_c)
                         yp2.append(yp)
-                        vl2.append(vl * fv[i])
+                        vl2.append(vl * fv[i])   # AR on for ALL re-polished
                     bat2 = batched._replace(
                         base_ref=jnp.asarray(qs[:, :, :6], dtype),
                         ar=batched.ar._replace(

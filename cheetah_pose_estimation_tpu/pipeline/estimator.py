@@ -532,7 +532,10 @@ def estimate_kinematics(est: CheetahEstimator,
                 q_boot = st_chain.q
             else:
                 prior_ok = False
-        if use_ar and prior_ok:
+        if use_ar:
+            # AR motion prior on every trial (reference behavior); for
+            # gate-rejected trials the anchors come from the prior-free
+            # bootstrap (q_boot is st_free.q there)
             mm = armodel.train_motion_model(
                 dset, window_size=motion_model_window_size,
                 lasso=motion_model_sparse_solution,
@@ -551,7 +554,6 @@ def estimate_kinematics(est: CheetahEstimator,
         q0 = np.asarray(q_boot, q0.dtype)
         est.data = data
     use_gmm = use_gmm and prior_ok
-    use_ar = use_ar and prior_ok
 
     use_shutter = p.enable_shutter_delay_estimation and scene.cam_idx is None
     cfg = kin.KinematicConfig(

@@ -92,6 +92,13 @@ class KinematicData(NamedTuple):
     # (pipeline.contacts); zero weights (the default) disable every term.
     ground_z: jnp.ndarray = np.zeros(())     # scalar plane elevation [m]
     stance_w: jnp.ndarray = np.zeros((1, 4))  # (N, 4) in [0, 1]
+    # per-trial GMM gate weight: multiplies the pose-prior term so ONE
+    # compiled solver serves gate-accepted (1.0) and gate-rejected (0.0)
+    # trials in the same vmapped batch — the rejected trials then still
+    # carry the AR motion prior (the reference's motion model runs on
+    # EVERY data-driven trial, acinoset_misc.py:291-336; only the pose
+    # manifold is confidence-gated here)
+    gmm_scale: jnp.ndarray = np.ones(())
     # base-pose anchor (data-driven bootstrap): reference (N, 6) base
     # translation+orientation the GMM/AR-constrained solves are pinned to.
     # Round-5 forced-vs-gated study (docs/artifacts/forced_vs_gated.csv):
@@ -410,8 +417,8 @@ class KinematicFTE:
         motion = jnp.zeros((), q.dtype)
         if cfg.use_gmm:
             x22 = jnp.einsum("ij,tj->ti", jnp.asarray(self._A22, q.dtype), q)
-            pose = jnp.sum(data.frame_valid
-                           * self._gmm_neglog(x22, data.gmm))
+            pose = data.gmm_scale.astype(q.dtype) * jnp.sum(
+                data.frame_valid * self._gmm_neglog(x22, data.gmm))
         if cfg.use_ar:
             x28 = jnp.einsum("ij,tj->ti", jnp.asarray(self._A28, q.dtype), q)
             r = x28 - data.ar.y_pred
@@ -584,10 +591,12 @@ class KinematicFTE:
             factor = jnp.exp(lse - jnp.logaddexp(lse, jnp.log(1e-12)))
             dx = x22[:, None, :] - data.gmm.means[None]
             gx = jnp.einsum("nk,kij,nkj->ni", gamma, data.gmm.prec, dx)
-            gx = gx * factor[:, None] * data.frame_valid[:, None]
+            gs = data.gmm_scale.astype(dtype)
+            gx = gx * (gs * factor * data.frame_valid)[:, None]
             # EM/MM surrogate curvature: sum_k gamma_k Prec_k (PSD)
-            Hx = jnp.einsum("nk,kij->nij", gamma * (factor
-                                                    * data.frame_valid)[:, None],
+            Hx = jnp.einsum("nk,kij->nij",
+                            gamma * (gs * factor
+                                     * data.frame_valid)[:, None],
                             data.gmm.prec)
             g = g + jnp.einsum("ij,ti->tj", A22, gx)
             Hdiag = Hdiag + jnp.einsum("ia,tij,jb->tab", A22, Hx, A22)
