@@ -335,7 +335,7 @@ def make_depth_linescan(subject: SubjectParams, dtype=None,
                                                      -0.2, -0.1, 0.0,
                                                      0.1),
                         stages: Tuple = ((1.0, 60),),
-                        finish_stages: Tuple = ((1.0, 120),),
+                        finish_stages: Optional[Tuple] = None,
                         margin: float = 0.01):
     """Monocular depth line-scan: re-solve at candidate depths, keep the
     clear winner.
@@ -374,13 +374,19 @@ def make_depth_linescan(subject: SubjectParams, dtype=None,
         dtype = jnp.float32
     fte = kin.KinematicFTE(
         kin.KinematicConfig(fisheye=True, robust=True), subject)
-    run = fte.make_solver(stages=stages)
+    # fixed-length scan driver: the vmapped lanes synchronize to the
+    # slowest lane under a while-driver anyway, and the single-stage
+    # fixed driver compiles half the cost body (see make_solver)
+    run = fte.make_solver(stages=stages, driver="fixed")
     vrun = jax.jit(jax.vmap(run))
-    # accepted winners get a longer re-anneal (probe/finish split, the
-    # multistart pattern): the probe's short budget picks the basin, but
-    # a 0.2-0.4 m depth move needs more iterations to re-converge the
-    # base trajectory — under-converged winners carry CoM-velocity wobble
-    vfinish = jax.jit(jax.vmap(fte.make_solver(stages=finish_stages)))
+    # optional longer re-anneal of accepted winners (probe/finish split).
+    # None (production default): the pipelines re-polish accepted winners
+    # with the full prior solver at the corrected depth anyway
+    # (pipeline/batched.py), which supersedes a prior-free finish — a
+    # second free re-anneal was measured to change nothing there.
+    vfinish = None
+    if finish_stages is not None:
+        vfinish = jax.jit(jax.vmap(fte.make_solver(stages=finish_stages)))
     offs = tuple(float(s) for s in shifts)
     ZI = offs.index(0.0)
     Kn = len(offs)
@@ -428,11 +434,12 @@ def make_depth_linescan(subject: SubjectParams, dtype=None,
                              np.asarray([offs[b] for b in best]), 0.0)
         if not accept.any():
             return jnp.asarray(q_np, dtype), shift_out
-        # finish the accepted winners only (the vmapped solve runs every
-        # lane; non-accepted trials keep their INPUT unchanged)
-        stf = vfinish(jnp.asarray(qsol[best, np.arange(B)], dtype),
-                      batched)
-        qf = np.asarray(stf.q, np.float64)
+        qf = qsol[best, np.arange(B)]
+        if vfinish is not None:
+            # finish the accepted winners (the vmapped solve runs every
+            # lane; non-accepted trials keep their INPUT unchanged)
+            stf = vfinish(jnp.asarray(qf, dtype), batched)
+            qf = np.asarray(stf.q, np.float64)
         out = np.where(accept[:, None, None], qf, q_np)
         return jnp.asarray(out, dtype), shift_out
 
