@@ -69,7 +69,20 @@ def linsolve_bench(out_path="docs/artifacts/linsolve_bench.json"):
                 lambda gg, Hd, Hl: gn._scaled_solve(
                     gg, type(H)(Hd, Hl), lam, 1e-8, method)))
             try:
-                dq = solve(g, H.diag, H.lower)
+                # the tunneled remote-compile service 500s transiently
+                # (round-5: B=40/160 pallas failed with tpu_compile_helper
+                # HTTP 500 on kernel shapes identical to the B=10 chunks
+                # that compiled fine) — retry the first compile
+                for attempt in range(3):
+                    try:
+                        dq = solve(g, H.diag, H.lower)
+                        break
+                    except Exception:
+                        if attempt == 2:
+                            raise
+                        solve = jax.jit(jax.vmap(
+                            lambda gg, Hd, Hl: gn._scaled_solve(
+                                gg, type(H)(Hd, Hl), lam, 1e-8, method)))
                 dq.block_until_ready()
                 reps = 10
                 t0 = time.time()
@@ -342,48 +355,72 @@ def main():
                     np.asarray(bat.meas)[i, :n, 0],
                     np.asarray(bat.weight)[i, :n, 0],
                     cam.K[0], cam.D[0], cam.R[0], cam.t[0])
-            q_s, shifts = scan(jnp.asarray(qs_np, dtype), bat, rays, veto)
-            qs2 = np.asarray(q_s, np.float64)
+            _, shifts = scan(jnp.asarray(qs_np, dtype), bat, rays, veto)
+            qs2 = qs_np
             moved = shifts != 0.0
             if moved.any():
+                # scan judges depth only; its wobbly prior-free lanes are
+                # discarded — apply the accepted shift to the main dd
+                # trajectory and re-polish (pipeline/batched.py semantics,
+                # measured MPE 153.2 -> 148.1, CoM-vel 1.509 -> 1.381)
+                qs_shift = qs_np.copy()
+                qs_shift[:, :, :3] += shifts[:, None, None] * rays
                 fv = np.asarray(bat.frame_valid)
                 yp2, vl2 = [], []
                 for i in range(B):
-                    x_c = np.asarray(sk.relative_pose(qs2[i]))
+                    x_c = np.asarray(sk.relative_pose(qs_shift[i]))
                     yp, vl = armodel.anchor_predictions(mm, x_c)
                     yp2.append(yp)
                     vl2.append(vl * fv[i])
                 bat2 = bat._replace(
-                    base_ref=jnp.asarray(qs2[:, :, :6], dtype),
+                    base_ref=jnp.asarray(qs_shift[:, :, :6], dtype),
                     ar=bat.ar._replace(
                         y_pred=jnp.asarray(np.stack(yp2), dtype),
                         valid=jnp.asarray(np.stack(vl2), dtype)))
-                st2 = vdd(jnp.asarray(qs2, dtype), bat2)
+                st2 = vdd(jnp.asarray(qs_shift, dtype), bat2)
                 qs2 = np.where(moved[:, None, None],
-                               np.asarray(st2.q, np.float64), qs2)
+                               np.asarray(st2.q, np.float64), qs_np)
             return jnp.asarray(qs2, dtype), shifts
 
+        def dd_pipeline():
+            qb, bat, prior_ok = dd_host(st.q)
+            st_dd = vdd(qb, bat)
+            q_dd, dd_shifts = dd_depth(st_dd.q, bat)
+            # prior-rejected trials the scan left unmoved ship the
+            # prior-free solution verbatim — dd degenerates to default
+            # exactly when every prior is off and there is no depth
+            # evidence (pipeline/batched.py, VERDICT r4 ask #1)
+            rej_unmoved = ~prior_ok & (dd_shifts == 0.0)
+            if rej_unmoved.any():
+                q_dd = jnp.where(jnp.asarray(rej_unmoved)[:, None, None],
+                                 st.q, q_dd)
+            return q_dd, dd_shifts, prior_ok
+
         t0 = time.time()
-        qb, bat, prior_ok = dd_host(st.q)
-        st_dd = vdd(qb, bat)
-        q_dd, dd_shifts = dd_depth(st_dd.q, bat)
+        q_dd, dd_shifts, prior_ok = dd_pipeline()
         q_dd.block_until_ready()
         dd_compile_s = time.time() - t0
         t0 = time.time()
         for _ in range(reps):
-            qb, bat, prior_ok = dd_host(st.q)
-            st_dd = vdd(qb, bat)
-            q_dd, dd_shifts = dd_depth(st_dd.q, bat)
+            q_dd, dd_shifts, prior_ok = dd_pipeline()
             q_dd.block_until_ready()
         dd_s = (time.time() - t0) / reps
         qs_dd64 = np.asarray(q_dd, np.float64)
         mpe_dd, mpjpe_dd, cv_dd = score(qs_dd64)
         dd_pt = bench_lib.score_per_trial(qs_dd64, trials, fpss, subject)
+        # engagement accounting: the GMM pose prior engages on the gated
+        # trials; the AR motion prior additionally engages on every
+        # scan-moved trial through the re-polish at the corrected depth
+        # (pipeline/batched.py) — a trial is fully prior-free only when
+        # the gate rejected it AND the scan left it unmoved
+        ar_mask = prior_ok | (np.asarray(dd_shifts) != 0.0)
         dd_stats = {"mpe_mm": mpe_dd, "mpjpe_mm": mpjpe_dd,
                     "comvel_rmse": cv_dd, "run_s": dd_s,
                     "compile_s": dd_compile_s,
                     "prior_ok": int(prior_ok.sum()),
                     "prior_ok_mask": prior_ok.astype(int).tolist(),
+                    "ar_engaged": int(ar_mask.sum()),
+                    "ar_engaged_mask": ar_mask.astype(int).tolist(),
                     "scan_shifts": np.round(dd_shifts, 2).tolist(),
                     "per_trial": [dict(mpe_mm=round(r[0], 1),
                                        mpjpe_mm=round(r[1], 1),

@@ -62,11 +62,14 @@ DATA_DRIVEN_DATASET = _default_data_driven_dataset()
 # pin the GMM/AR-constrained solves' base to the prior-free solution so the
 # pose prior cannot corrupt global depth (round-5 forced-vs-gated study:
 # unanchored forced priors cost +25..+150 mm MPE per trial at near-
-# unchanged MPJPE; with this soft anchor forced engagement IMPROVES mean
-# MPE 195->191 and MPJPE 60->57). Stiffer anchors (2e3/5e2) were measured
-# worse: the rotation pin blocks the prior's bad-basin rescues (trial
-# 2019_03_03 MPJPE stays 151 vs 126 with the soft anchor).
-DD_BASE_ANCHOR = dict(base_anchor_trans=4e2, base_anchor_rot=1e2)
+# unchanged MPJPE). The TRANSLATION pin is stiff (1.6e3 ~ sigma 2.5 cm —
+# experiments/dd_fix_test D-sweep on chip: trans 4e2/1.6e3/4e3 give bench
+# dd MPE 148.1/137.3/139.5 at CoM-vel 1.381/1.379/1.386; the stiffer pin
+# keeps the priors from leaving base-translation drift that muddies the
+# depth line-scan's cost landscape, so the scan corrects 6 trials instead
+# of 4). The ROTATION pin stays soft (1e2): a stiff rotation pin blocks
+# the prior's bad-basin rescues (trial 2019_03_03 MPJPE stays 151 vs 126).
+DD_BASE_ANCHOR = dict(base_anchor_trans=1.6e3, base_anchor_rot=1e2)
 
 # Prior-confidence gate threshold (chain / prior-free cost ratio). With
 # the base anchor bounding global-depth damage and the depth line-scan
@@ -653,11 +656,24 @@ def estimate_kinematics(est: CheetahEstimator,
             fisheye=not p.kinetic_dataset)])
         scan = danchor.make_depth_linescan(est.subject, state.q.dtype)
         bat1 = jax.tree.map(lambda x: jnp.asarray(x)[None], data)
-        q_s, shifts = scan(jnp.asarray(est.q, state.q.dtype)[None], bat1,
-                           rays, veto)
+        _, shifts = scan(jnp.asarray(est.q, state.q.dtype)[None], bat1,
+                         rays, veto)
         if float(shifts[0]) != 0.0:
-            est.q = np.asarray(q_s[0], np.float64)
-            state = state._replace(q=q_s[0])
+            # the scan JUDGES depth only (its prior-free lanes carry
+            # monocular depth wobble): apply the accepted shift to the
+            # solved trajectory and re-polish with the full prior solver
+            # at the corrected depth (pipeline/batched.py semantics)
+            q_shift = np.asarray(est.q, np.float64).copy()
+            q_shift[:, :3] += float(shifts[0]) * rays[0]
+            data2 = data._replace(base_ref=jnp.asarray(q_shift[:, :6]))
+            if use_ar:
+                x_c = np.asarray(sk.relative_pose(q_shift))
+                yp2, vl2 = armodel.anchor_predictions(mm, x_c)
+                data2 = data2._replace(ar=data2.ar._replace(
+                    y_pred=jnp.asarray(yp2), valid=jnp.asarray(vl2)))
+            st2 = run(jnp.asarray(q_shift, state.q.dtype), data2)
+            est.q = np.asarray(st2.q, np.float64)
+            state = state._replace(q=st2.q)
             if solver_output:
                 print(f"depth line-scan shift: {float(shifts[0]):+.2f} m")
     est.opt_time_s = time.time() - t0
